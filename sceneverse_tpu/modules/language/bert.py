@@ -1,0 +1,173 @@
+"""BERT text encoder, native NNX implementation.
+
+Mirrors the reference's 4-layer truncated ``bert-base-uncased``
+(reference modules/language/bert.py:7-26: HF BertModel with
+num_hidden_layers=4, returns last_hidden_state). The module tree follows the
+HF parameter naming (embeddings / encoder.layer.N.attention.self.query …) so
+converted torch checkpoints map one-to-one (see sceneverse_tpu.ckpt.convert).
+
+No network access is assumed: weights are randomly initialized unless a
+converted checkpoint is loaded on top.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from sceneverse_tpu.modules.build import LANGUAGE_REGISTRY
+from sceneverse_tpu.modules.weights import bert_embed_init, bert_linear_kernel_init, zeros_init
+
+Array = jax.Array
+
+
+@dataclass
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 4
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    layer_norm_eps: float = 1e-12
+
+
+def _linear(din, dout, rngs):
+    return nnx.Linear(
+        din, dout, kernel_init=bert_linear_kernel_init, bias_init=zeros_init,
+        rngs=rngs,
+    )
+
+
+class BertEmbeddings(nnx.Module):
+    def __init__(self, cfg: BertConfig, *, rngs: nnx.Rngs):
+        self.word_embeddings = nnx.Embed(
+            cfg.vocab_size, cfg.hidden_size, embedding_init=bert_embed_init, rngs=rngs
+        )
+        self.position_embeddings = nnx.Embed(
+            cfg.max_position_embeddings, cfg.hidden_size,
+            embedding_init=bert_embed_init, rngs=rngs,
+        )
+        self.token_type_embeddings = nnx.Embed(
+            cfg.type_vocab_size, cfg.hidden_size,
+            embedding_init=bert_embed_init, rngs=rngs,
+        )
+        self.LayerNorm = nnx.LayerNorm(cfg.hidden_size, epsilon=cfg.layer_norm_eps, rngs=rngs)
+        self.dropout = nnx.Dropout(cfg.hidden_dropout_prob, rngs=rngs)
+
+    def __call__(self, input_ids: Array, token_type_ids: Array | None = None):
+        B, L = input_ids.shape
+        pos_ids = jnp.arange(L, dtype=jnp.int32)[None, :]
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        x = (
+            self.word_embeddings(input_ids)
+            + self.position_embeddings(pos_ids)
+            + self.token_type_embeddings(token_type_ids)
+        )
+        return self.dropout(self.LayerNorm(x))
+
+
+class BertSelfAttention(nnx.Module):
+    def __init__(self, cfg: BertConfig, *, rngs: nnx.Rngs):
+        self.num_heads = cfg.num_attention_heads
+        self.head_dim = cfg.hidden_size // cfg.num_attention_heads
+        self.query = _linear(cfg.hidden_size, cfg.hidden_size, rngs)
+        self.key = _linear(cfg.hidden_size, cfg.hidden_size, rngs)
+        self.value = _linear(cfg.hidden_size, cfg.hidden_size, rngs)
+        self.dropout = nnx.Dropout(cfg.attention_probs_dropout_prob, rngs=rngs)
+
+    def __call__(self, x: Array, attn_bias: Array):
+        B, L, D = x.shape
+        H, dh = self.num_heads, self.head_dim
+        split = lambda t: t.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+        q, k, v = split(self.query(x)), split(self.key(x)), split(self.value(x))
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(dh)
+        logits = logits + attn_bias  # additive mask, HF semantics
+        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        attn = self.dropout(attn)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        return out.transpose(0, 2, 1, 3).reshape(B, L, D)
+
+
+class BertSelfOutput(nnx.Module):
+    def __init__(self, cfg: BertConfig, *, rngs: nnx.Rngs):
+        self.dense = _linear(cfg.hidden_size, cfg.hidden_size, rngs)
+        self.LayerNorm = nnx.LayerNorm(cfg.hidden_size, epsilon=cfg.layer_norm_eps, rngs=rngs)
+        self.dropout = nnx.Dropout(cfg.hidden_dropout_prob, rngs=rngs)
+
+    def __call__(self, hidden: Array, residual: Array):
+        return self.LayerNorm(self.dropout(self.dense(hidden)) + residual)
+
+
+class BertAttention(nnx.Module):
+    def __init__(self, cfg: BertConfig, *, rngs: nnx.Rngs):
+        self.self = BertSelfAttention(cfg, rngs=rngs)
+        self.output = BertSelfOutput(cfg, rngs=rngs)
+
+    def __call__(self, x: Array, attn_bias: Array):
+        return self.output(self.self(x, attn_bias), x)
+
+
+class BertLayer(nnx.Module):
+    def __init__(self, cfg: BertConfig, *, rngs: nnx.Rngs):
+        self.attention = BertAttention(cfg, rngs=rngs)
+        self.intermediate_dense = _linear(cfg.hidden_size, cfg.intermediate_size, rngs)
+        self.output_dense = _linear(cfg.intermediate_size, cfg.hidden_size, rngs)
+        self.output_LayerNorm = nnx.LayerNorm(cfg.hidden_size, epsilon=cfg.layer_norm_eps, rngs=rngs)
+        self.output_dropout = nnx.Dropout(cfg.hidden_dropout_prob, rngs=rngs)
+
+    def __call__(self, x: Array, attn_bias: Array):
+        x = self.attention(x, attn_bias)
+        h = jax.nn.gelu(self.intermediate_dense(x), approximate=False)
+        return self.output_LayerNorm(self.output_dropout(self.output_dense(h)) + x)
+
+
+class BertModel(nnx.Module):
+    def __init__(self, cfg: BertConfig, *, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.embeddings = BertEmbeddings(cfg, rngs=rngs)
+        self.layer = nnx.List([BertLayer(cfg, rngs=rngs) for _ in range(cfg.num_hidden_layers)])
+
+    def __call__(self, input_ids: Array, attention_mask: Array,
+                 token_type_ids: Array | None = None) -> Array:
+        """Returns last_hidden_state (B, L, D). ``attention_mask``: 1 = keep."""
+        x = self.embeddings(input_ids, token_type_ids)
+        # HF extended attention mask: (1 - mask) * finfo.min, additive.
+        bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :]
+        bias = bias * jnp.finfo(jnp.float32).min
+        for layer in self.layer:
+            x = layer(x, bias)
+        return x
+
+
+@LANGUAGE_REGISTRY.register()
+class BERTLanguageEncoder(nnx.Module):
+    """reference modules/language/bert.py:7-26."""
+
+    def __init__(self, cfg=None, weights: str = "bert-base-uncased",
+                 hidden_size: int = 768, num_hidden_layers: int = 4,
+                 num_attention_heads: int = 12, type_vocab_size: int = 2,
+                 *, rngs: nnx.Rngs):
+        del weights  # no network access; converted ckpts load on top
+        self.model = BertModel(
+            BertConfig(
+                hidden_size=hidden_size,
+                num_hidden_layers=num_hidden_layers,
+                num_attention_heads=num_attention_heads,
+                type_vocab_size=type_vocab_size,
+            ),
+            rngs=rngs,
+        )
+
+    def __call__(self, txt_ids: Array, txt_masks: Array, **kwargs) -> Array:
+        return self.model(txt_ids, txt_masks)

@@ -1,0 +1,172 @@
+"""PointNet++ set-abstraction encoder, TPU-first.
+
+Replaces the reference composition (reference modules/layers/pointnet.py:22-63
+over modules/third_party/pointnet2/pointnet2_modules.py:26-151 +
+pytorch_utils.py SharedMLP) with a channels-last XLA program:
+
+  FPS -> gather -> ball query -> group -> center -> [concat feats]
+      -> per-point MLP (1x1 "convs" become plain (…, C) @ (C, C') matmuls
+         that tile straight onto the MXU) -> max over the sample axis.
+
+Everything is static-shaped and lives inside one jit; XLA fuses the gathers
+and elementwise work into the matmuls. BatchNorm statistics reduce over
+(batch, centers, samples) exactly like the reference's BatchNorm2d over
+(B, C, npoint, nsample); cross-device sync is done by constructing with an
+``axis_name`` (the reference only syncs in ObjCls via SyncBatchNorm,
+reference model/objcls.py:33-34).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from sceneverse_tpu.ops.pointops import (
+    ball_query,
+    furthest_point_sample,
+    gather_points,
+    group_points,
+)
+
+Array = jax.Array
+
+
+class ConvBNReLU(nnx.Module):
+    """One SharedMLP layer: 1x1 conv (= matmul on the last dim), BN, ReLU.
+
+    Mirrors reference pytorch_utils.py:68-120 ``_ConvBase``: no conv bias when
+    BN is on, kaiming-normal kernel init, BN eps 1e-5 / torch momentum 0.1.
+    """
+
+    def __init__(self, din: int, dout: int, bn: bool = True,
+                 axis_name: Optional[str] = None, *, rngs: nnx.Rngs):
+        self.conv = nnx.Linear(
+            din, dout, use_bias=not bn,
+            kernel_init=nnx.initializers.kaiming_normal(), rngs=rngs,
+        )
+        self.bn = (
+            nnx.BatchNorm(
+                dout, epsilon=1e-5, momentum=0.9, axis_name=axis_name, rngs=rngs
+            )
+            if bn
+            else None
+        )
+
+    def __call__(self, x: Array) -> Array:
+        x = self.conv(x)
+        if self.bn is not None:
+            # nnx.BatchNorm reduces over every non-feature axis, i.e. over
+            # (batch, centers, samples) per channel — same as BatchNorm2d.
+            x = self.bn(x)
+        return jax.nn.relu(x)
+
+
+class SharedMLP(nnx.Module):
+    """Stack of ConvBNReLU over the channel (last) dim
+    (reference pytorch_utils.py:11-36)."""
+
+    def __init__(self, spec: List[int], bn: bool = True,
+                 axis_name: Optional[str] = None, *, rngs: nnx.Rngs):
+        self.layers = nnx.List([
+            ConvBNReLU(spec[i], spec[i + 1], bn=bn, axis_name=axis_name, rngs=rngs)
+            for i in range(len(spec) - 1)
+        ])
+
+    def __call__(self, x: Array) -> Array:
+        for layer in self.layers:
+            x = layer(x)
+        return x
+
+
+class PointnetSAModule(nnx.Module):
+    """Single-scale set-abstraction level
+    (reference pointnet2_modules.py:26-151, single-grouper case).
+
+    ``npoint=None`` means GroupAll (reference pointnet2_utils.py:376-419).
+    """
+
+    def __init__(self, *, npoint: Optional[int], radius: Optional[float],
+                 nsample: Optional[int], mlp: List[int], bn: bool = True,
+                 use_xyz: bool = True, axis_name: Optional[str] = None,
+                 rngs: nnx.Rngs):
+        self.npoint = npoint
+        self.radius = radius
+        self.nsample = nsample
+        self.use_xyz = use_xyz
+        spec = list(mlp)
+        if use_xyz:
+            spec[0] += 3
+        self.mlp = SharedMLP(spec, bn=bn, axis_name=axis_name, rngs=rngs)
+
+    def __call__(self, xyz: Array, features: Optional[Array]):
+        """xyz: (B, N, 3); features: (B, N, C) or None.
+
+        Returns (new_xyz (B, npoint, 3) or None, new_features (B, npoint, C')).
+        """
+        if self.npoint is not None:
+            fps_idx = furthest_point_sample(xyz, self.npoint)
+            new_xyz = gather_points(xyz, fps_idx)  # (B, M, 3)
+            idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
+            grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+            if features is not None:
+                grouped_feats = group_points(features, idx)
+                grouped = (
+                    jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+                    if self.use_xyz
+                    else grouped_feats
+                )
+            else:
+                assert self.use_xyz
+                grouped = grouped_xyz
+        else:
+            new_xyz = None
+            # GroupAll: one "center" containing every point.
+            grouped = (
+                jnp.concatenate([xyz, features], axis=-1)
+                if features is not None and self.use_xyz
+                else (features if features is not None else xyz)
+            )[:, None]  # (B, 1, N, 3+C)
+
+        h = self.mlp(grouped)  # (B, M, S, C')
+        new_features = jnp.max(h, axis=2)  # max over samples (B, M, C')
+        return new_xyz, new_features
+
+
+class PointNetPP(nnx.Module):
+    """PointNet++ encoder (reference modules/layers/pointnet.py:22-63).
+
+    Input: (B, P, 3+C) point clouds (xyz + colors); output: (B, D) embeddings.
+    """
+
+    def __init__(self, sa_n_points: list, sa_n_samples: list, sa_radii: list,
+                 sa_mlps: list, bn: bool = True, use_xyz: bool = True,
+                 axis_name: Optional[str] = None, *, rngs: nnx.Rngs):
+        n_sa = len(sa_n_points)
+        if not (n_sa == len(sa_n_samples) == len(sa_radii) == len(sa_mlps)):
+            raise ValueError("Lens of given hyper-params are not compatible")
+        self.encoder = nnx.List([
+            PointnetSAModule(
+                npoint=sa_n_points[i],
+                radius=sa_radii[i],
+                nsample=sa_n_samples[i],
+                mlp=sa_mlps[i],
+                bn=bn,
+                use_xyz=use_xyz,
+                axis_name=axis_name,
+                rngs=rngs,
+            )
+            for i in range(n_sa)
+        ])
+        out_n_points = sa_n_points[-1] if sa_n_points[-1] is not None else 1
+        self.fc = nnx.Linear(out_n_points * sa_mlps[-1][-1], sa_mlps[-1][-1], rngs=rngs)
+
+    def __call__(self, features: Array) -> Array:
+        """features: (B, P, 3 + C)."""
+        xyz = features[..., :3]
+        feats = features[..., 3:] if features.shape[-1] > 3 else None
+        for sa in self.encoder:
+            xyz, feats = sa(xyz, feats)
+        return self.fc(feats.reshape(feats.shape[0], -1))
