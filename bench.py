@@ -1,0 +1,82 @@
+"""Benchmark: GPS pretraining throughput (scenes/sec/chip) on real hardware.
+
+Measures the fused train step (forward + loss + backward + AdamW update) of
+the full-size GPS model — 768-d hidden, BERT-4L text (50 tokens), PointNet++
+(80 objects x 1024 points) + 4L spatial encoder + 4L unified encoder +
+OV pretrain head (30522 + 607 vocab) — the exact shape budget of
+reference configs/final/all_pretrain.yaml:35-46,204-245.
+
+Baseline note: the reference publishes NO throughput numbers
+(BASELINE.md). A100_SCENES_PER_SEC below is our engineering estimate of the
+reference stack's per-A100 throughput at batch 64 (kernel-launch-bound
+PointNet++ CUDA ops + DDP), used only to populate vs_baseline; the north-star
+target is vs_baseline >= 3 (BASELINE.json: ">=3x A100 scenes/sec/chip").
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A100_SCENES_PER_SEC = 128.0  # estimated reference throughput per A100 at batch 64
+
+BATCH = 64
+NUM_OBJ = 80
+NUM_POINTS = 1024
+SEQ_LEN = 50
+CAP_LEN = 64
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    from flax import nnx
+
+    import sceneverse_tpu.model  # noqa: F401
+    from sceneverse_tpu.model import build_model
+    from sceneverse_tpu.optim.build import build_optim
+    from __graft_entry__ import _gps_batch, _gps_cfg
+
+    cfg = _gps_cfg()
+    model = build_model(cfg, rngs=nnx.Rngs(0))
+    model.train()
+    loss_mod, tx, _, _ = build_optim(cfg, model, total_steps=10_000)
+    optimizer = nnx.Optimizer(model, tx, wrt=nnx.Param)
+
+    @nnx.jit
+    def train_step(model, optimizer, batch):
+        def loss_fn(model):
+            out = model(batch)
+            total, _ = loss_mod(out)
+            return total
+
+        total, grads = nnx.value_and_grad(loss_fn)(model)
+        optimizer.update(model, grads)
+        return total
+
+    batch = _gps_batch(BATCH, NUM_OBJ, NUM_POINTS, SEQ_LEN, cap_len=CAP_LEN)
+
+    for _ in range(WARMUP):
+        total = train_step(model, optimizer, batch)
+    jax.block_until_ready(total)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        total = train_step(model, optimizer, batch)
+    jax.block_until_ready(total)
+    dt = time.perf_counter() - t0
+
+    scenes_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "gps_pretrain_scenes_per_sec_per_chip",
+        "value": round(scenes_per_sec, 2),
+        "unit": "scenes/s",
+        "vs_baseline": round(scenes_per_sec / A100_SCENES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

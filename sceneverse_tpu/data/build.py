@@ -1,0 +1,113 @@
+"""Dataset registry + dataloaders (reference data/build.py:7-87).
+
+Host-side loading design: item construction is numpy (vectorized builders in
+datasets/), batching uses torch.utils.data.DataLoader purely as a parallel
+host-side iterator (multi-worker prefetch) with a numpy collate — torch never
+touches the compute path. Batches are dicts of numpy arrays with STATIC
+shapes (objects padded to max_obj_len, points to num_points, text to
+max_seq_len), so every batch hits the same XLA executable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sceneverse_tpu.registry import Registry
+
+DATASET_REGISTRY = Registry("dataset")
+
+
+def numpy_collate(items: list) -> dict:
+    """Stack dict-of-array items; non-numeric fields become lists."""
+    out = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        first = vals[0]
+        if isinstance(first, np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(first, (bool, np.bool_)):  # before int: bool < int
+            out[key] = np.asarray(vals, dtype=bool)
+        elif isinstance(first, (int, np.integer)):
+            out[key] = np.asarray(vals, dtype=np.int64)
+        elif isinstance(first, (float, np.floating)):
+            out[key] = np.asarray(vals, dtype=np.float32)
+        else:
+            out[key] = vals  # strings / metadata, never enter jit
+    return out
+
+
+class ConcatDataset:
+    """Concatenation of datasets for multi-dataset training
+    (reference data/build.py:36-39 uses torch ConcatDataset)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, idx):
+        ds = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        return self.datasets[ds][idx - int(self._offsets[ds])]
+
+
+def get_dataset(cfg, split="train"):
+    """Instantiate datasets for a split, wrap with the configured wrapper,
+    concat for train (reference data/build.py:14-39)."""
+    from sceneverse_tpu.data.datasets.dataset_wrapper import DATASETWRAPPER_REGISTRY
+
+    names = cfg.data.get(split)
+    if isinstance(names, str):
+        names = [names]
+    wrapper_name = cfg.data_wrapper[split] if "data_wrapper" in cfg else None
+
+    def build_one(name):
+        ds = DATASET_REGISTRY.get(name)(cfg, split)
+        if wrapper_name:
+            ds = DATASETWRAPPER_REGISTRY.get(wrapper_name)(cfg, ds)
+        return ds
+
+    datasets = [build_one(n) for n in names]
+    if split == "train":
+        return ConcatDataset(datasets) if len(datasets) > 1 else datasets[0]
+    return datasets
+
+
+def _make_loader(dataset, cfg, shuffle, drop_last):
+    from torch.utils.data import DataLoader
+
+    return DataLoader(
+        dataset,
+        batch_size=int(cfg.dataloader.batchsize),
+        num_workers=int(cfg.dataloader.get("num_workers", 0)),
+        collate_fn=numpy_collate,
+        pin_memory=False,
+        shuffle=shuffle,
+        drop_last=drop_last,
+        persistent_workers=int(cfg.dataloader.get("num_workers", 0)) > 0,
+        generator=_seeded_generator(cfg),
+    )
+
+
+def _seeded_generator(cfg):
+    import torch
+
+    g = torch.Generator()
+    g.manual_seed(int(cfg.get("rng_seed", 42)))
+    return g
+
+
+def build_dataloader(cfg, split="train"):
+    """Train: one shuffled drop-last loader over the concat dataset.
+    Eval: a list of per-dataset loaders (reference data/build.py:42-83) —
+    single-element eval lists are returned as the loader itself for
+    trainer-loop simplicity (matches reference behavior via
+    accelerator.prepare unpacking)."""
+    dataset = get_dataset(cfg, split)
+    if split == "train":
+        return _make_loader(dataset, cfg, shuffle=True, drop_last=True)
+    loaders = [
+        _make_loader(ds, cfg, shuffle=False, drop_last=False) for ds in dataset
+    ]
+    return loaders[0] if len(loaders) == 1 else loaders

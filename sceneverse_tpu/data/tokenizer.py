@@ -1,0 +1,156 @@
+"""Text tokenization.
+
+The reference tokenizes with HF ``BertTokenizer('bert-base-uncased')``
+(reference modules/language/bert.py:12-14, data/datasets/dataset_wrapper.py).
+This module provides:
+
+  * ``WordPieceTokenizer`` — a self-contained WordPiece implementation with
+    the BERT special-token protocol ([CLS] ... [SEP] + [PAD]); loads a real
+    ``vocab.txt`` when one is available (HF cache or an explicit path),
+  * a deterministic hash-vocabulary fallback for zero-egress environments
+    (words map to stable ids in the wordpiece range) so the full pipeline
+    runs without the BERT vocab file — NOT token-compatible with real BERT
+    (parity evaluation requires the real vocab.txt, which ships with every
+    released checkpoint).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+PAD_ID = 0
+UNK_ID = 100
+CLS_ID = 101
+SEP_ID = 102
+MASK_ID = 103
+BERT_VOCAB_SIZE = 30522
+
+
+def _basic_tokenize(text: str) -> List[str]:
+    """Lowercase + punctuation-splitting basic tokenizer (BERT-style)."""
+    text = text.lower()
+    out = []
+    word = []
+    for ch in text:
+        if ch.isalnum() or ch == "'":
+            word.append(ch)
+        else:
+            if word:
+                out.append("".join(word))
+                word = []
+            if not ch.isspace():
+                out.append(ch)
+    if word:
+        out.append("".join(word))
+    return out
+
+
+class WordPieceTokenizer:
+    def __init__(self, vocab_file: Optional[str] = None,
+                 vocab_size: int = BERT_VOCAB_SIZE):
+        self.vocab_size = vocab_size
+        self.pad_token_id = PAD_ID
+        self.cls_token_id = CLS_ID
+        self.sep_token_id = SEP_ID
+        self.mask_token_id = MASK_ID
+        self.unk_token_id = UNK_ID
+        self.vocab = None
+        if vocab_file and os.path.isfile(vocab_file):
+            with open(vocab_file, encoding="utf-8") as f:
+                tokens = [line.rstrip("\n") for line in f]
+            self.vocab = {t: i for i, t in enumerate(tokens)}
+            self.vocab_size = len(tokens)
+            self.ids_to_tokens = {i: t for t, i in self.vocab.items()}
+            self.pad_token_id = self.vocab.get("[PAD]", PAD_ID)
+            self.cls_token_id = self.vocab.get("[CLS]", CLS_ID)
+            self.sep_token_id = self.vocab.get("[SEP]", SEP_ID)
+            self.mask_token_id = self.vocab.get("[MASK]", MASK_ID)
+            self.unk_token_id = self.vocab.get("[UNK]", UNK_ID)
+
+    # -- word -> ids ----------------------------------------------------------
+    def _wordpiece(self, word: str) -> List[int]:
+        if self.vocab is None:
+            # deterministic hash id in the wordpiece range [1000, vocab)
+            h = int(hashlib.md5(word.encode()).hexdigest(), 16)
+            return [1000 + h % (self.vocab_size - 1000)]
+        ids = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = self.vocab[sub]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk_token_id]
+            ids.append(cur)
+            start = end
+        return ids
+
+    def tokenize_to_ids(self, text: str) -> List[int]:
+        ids = []
+        for word in _basic_tokenize(text):
+            ids.extend(self._wordpiece(word))
+        return ids
+
+    def encode(self, text: str, max_length: int) -> Tuple[np.ndarray, np.ndarray]:
+        """[CLS] tokens [SEP] + pad, truncation to max_length (HF
+        padding='max_length', truncation=True semantics)."""
+        ids = self.tokenize_to_ids(text)[: max_length - 2]
+        ids = [self.cls_token_id] + ids + [self.sep_token_id]
+        n = len(ids)
+        out = np.full(max_length, self.pad_token_id, np.int64)
+        out[:n] = ids
+        mask = np.zeros(max_length, np.int64)
+        mask[:n] = 1
+        return out, mask
+
+    def batch_encode(self, texts: Sequence[str], max_length: int):
+        pairs = [self.encode(t, max_length) for t in texts]
+        return np.stack([p[0] for p in pairs]), np.stack([p[1] for p in pairs])
+
+    def decode(self, ids) -> str:
+        if self.vocab is None:
+            return " ".join(f"<{i}>" for i in ids)
+        toks = [self.ids_to_tokens.get(int(i), "[UNK]") for i in ids]
+        out = []
+        for t in toks:
+            if t in ("[PAD]", "[CLS]", "[SEP]"):
+                continue
+            if t.startswith("##") and out:
+                out[-1] += t[2:]
+            else:
+                out.append(t)
+        return " ".join(out)
+
+
+_CACHED = {}
+
+
+def get_tokenizer(cfg=None) -> WordPieceTokenizer:
+    """Resolve the tokenizer: explicit ``cfg.data.vocab_file``, then common
+    cache locations, then the hash fallback."""
+    vocab_file = None
+    if cfg is not None:
+        vocab_file = cfg.select("data.vocab_file")
+    if not vocab_file:
+        for cand in (
+            os.path.expanduser("~/.cache/huggingface/bert-base-uncased/vocab.txt"),
+            "/root/data/bert-base-uncased/vocab.txt",
+        ):
+            if os.path.isfile(cand):
+                vocab_file = cand
+                break
+    key = vocab_file or "__hash__"
+    if key not in _CACHED:
+        _CACHED[key] = WordPieceTokenizer(vocab_file)
+    return _CACHED[key]

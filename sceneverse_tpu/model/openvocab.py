@@ -1,0 +1,200 @@
+"""GPS task models (reference model/openvocab.py).
+
+``OpenVocab`` (:11-126): BERT text tower + PointNet++/spatial vision tower +
+unified cross-modal encoder + configured heads; records inter/intra embeds
+for the contrastive losses per ``cfg.model.inter``; og3d logits are the dot
+product between fused object tokens and the fused [CLS] text token (:74).
+
+``OpenVocabPerScene`` (:129-255): per-scene variant — a batch carries L
+sentences per scene; text runs at (B*L) and object features are broadcast to
+(B*L, O, D) before fusion; og3d logits reshape to (B, L, O).
+
+The forward is a pure function over a dict of arrays (data_dict in, new
+data_dict out) so the whole step jits with static shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from sceneverse_tpu.model.build import MODEL_REGISTRY, BaseModel
+from sceneverse_tpu.modules.build import build_module
+
+Array = jax.Array
+
+
+def _get_lr(module_cfg, default_lr):
+    lr = module_cfg.get("lr") if hasattr(module_cfg, "get") else None
+    return default_lr if lr is None else lr
+
+
+class _OpenVocabBase(BaseModel):
+    def __init__(self, cfg, *, rngs: nnx.Rngs):
+        super().__init__(cfg)
+        self.cfg = cfg
+        self.lang_encoder = build_module("language", cfg.model.language, rngs=rngs)
+        self.point_encoder = build_module("vision", cfg.model.vision, rngs=rngs)
+        self.unified_encoder = build_module("grounding", cfg.model.grounding, rngs=rngs)
+        self.head_list = list(cfg.model.heads.head_list)
+        for head in self.head_list:
+            setattr(self, head, build_module("heads", cfg.model.heads[head], rngs=rngs))
+        self.inter = cfg.model.get("inter", "")
+
+    def get_opt_params(self):
+        lr = self.cfg.solver.lr
+        groups = [
+            {"prefix": ("lang_encoder",), "lr": _get_lr(self.cfg.model.language, lr)},
+            {"prefix": ("point_encoder",), "lr": _get_lr(self.cfg.model.vision, lr)},
+            {"prefix": ("unified_encoder",), "lr": _get_lr(self.cfg.model.grounding, lr)},
+        ]
+        for head in ("ground_head", "qa_head", "pretrain_head"):
+            if head in self.head_list:
+                groups.append(
+                    {"prefix": (head,), "lr": _get_lr(self.cfg.model.heads[head], lr)}
+                )
+        return groups
+
+    def frozen_prefixes(self):
+        # reference pcd_openvocab_encoder.py:54-57 freezes only the params
+        # that exist at that point in __init__: the PointNet++ backbone.
+        if self.cfg.model.vision.args.get("freeze", False):
+            return [("point_encoder", "point_feature_extractor")]
+        return []
+
+    def _run_heads(self, out, language_fuse, point_fuse, point_pre, data_dict):
+        if getattr(self, "ground_head", None) is not None:
+            txt_cls_logits, obj_cls_post, obj_cls_pre, og3d_logits = self.ground_head(
+                language_fuse, point_fuse, point_pre, data_dict["obj_masks"]
+            )
+            out["txt_cls_logits"] = txt_cls_logits
+            out["obj_cls_post_logits"] = obj_cls_post
+            out["obj_cls_pre_logits"] = obj_cls_pre
+            out["og3d_logits"] = og3d_logits  # head overrides dot-product logits
+        if getattr(self, "qa_head", None) is not None:
+            out["answer_scores"] = self.qa_head(
+                point_fuse, data_dict["obj_masks"], language_fuse, data_dict["txt_masks"]
+            )
+        if getattr(self, "pretrain_head", None) is not None:
+            output = self.pretrain_head(language_fuse, point_fuse)
+            if isinstance(output, tuple):
+                out["txt_lm_cls_logits"], out["obj_cls_post_logits"] = output
+            else:
+                out["txt_lm_cls_logits"] = output
+        return out
+
+
+@MODEL_REGISTRY.register()
+class OpenVocab(_OpenVocabBase):
+    def __init__(self, cfg, *, rngs: nnx.Rngs):
+        super().__init__(cfg, rngs=rngs)
+        self.use_scene_cap = cfg.data.args.get("use_scene_cap", False)
+
+    def __call__(self, data_dict: dict) -> dict:
+        out = dict(data_dict)
+        lang_feats = self.lang_encoder(data_dict["txt_ids"], data_dict["txt_masks"])
+        if self.use_scene_cap and "scene_txt_ids" in data_dict:
+            scene_lang = self.lang_encoder(
+                data_dict["scene_txt_ids"], data_dict["scene_txt_masks"]
+            )
+            out["scene_text_embed"] = scene_lang[:, 0]
+
+        point_feats, point_pre, obj_cls_raw_logits = self.point_encoder(
+            data_dict["obj_fts"].astype(jnp.float32),
+            data_dict["obj_locs"],
+            data_dict["obj_masks"],
+            data_dict["obj_sem_masks"],
+            data_dict.get("obj_labels"),
+        )
+
+        if self.use_scene_cap:
+            out["scene_embed"] = jnp.mean(point_feats, axis=1)
+
+        if self.inter == "before":
+            out["inter_text_embed"] = lang_feats[:, 0]
+            out["inter_obj_embeds"] = point_feats
+
+        language_fuse, point_fuse = self.unified_encoder(
+            lang_feats, data_dict["txt_masks"], point_feats,
+            data_dict["obj_locs"], data_dict["obj_masks"],
+        )
+        if self.inter != "before":
+            out["inter_text_embed"] = language_fuse[:, 0]
+            out["inter_obj_embeds"] = point_fuse
+
+        language_cls = language_fuse[:, 0]
+        out["intra_text_embed"] = language_cls
+        out["intra_obj_embeds"] = point_fuse
+        out["obj_cls_raw_logits"] = obj_cls_raw_logits
+        out["og3d_logits"] = jnp.einsum("bod,bd->bo", point_fuse, language_cls)
+        return self._run_heads(out, language_fuse, point_fuse, point_pre, data_dict)
+
+
+@MODEL_REGISTRY.register()
+class OpenVocabPerScene(_OpenVocabBase):
+    def __call__(self, data_dict: dict) -> dict:
+        out = dict(data_dict)
+        txt_ids = data_dict["txt_ids"]
+        txt_masks = data_dict["txt_masks"]
+        use_per_scene = txt_ids.ndim == 3
+        if use_per_scene:
+            B, L, _ = txt_ids.shape
+            O = data_dict["obj_masks"].shape[1]
+            txt_ids = txt_ids.reshape(B * L, -1)
+            txt_masks = txt_masks.reshape(B * L, -1)
+
+        lang_feats = self.lang_encoder(txt_ids, txt_masks)
+        point_feats, point_pre, obj_cls_raw_logits = self.point_encoder(
+            data_dict["obj_fts"].astype(jnp.float32),
+            data_dict["obj_locs"],
+            data_dict["obj_masks"],
+            data_dict["obj_sem_masks"],
+            data_dict.get("obj_labels"),
+        )
+
+        if use_per_scene:
+            # broadcast per-scene object features to every sentence
+            point_feats = jnp.repeat(point_feats[:, None], L, axis=1).reshape(
+                B * L, O, point_feats.shape[-1]
+            )
+            obj_locs = jnp.repeat(data_dict["obj_locs"][:, None], L, axis=1).reshape(
+                B * L, O, -1
+            )
+            obj_masks = jnp.repeat(data_dict["obj_masks"][:, None], L, axis=1).reshape(
+                B * L, O
+            )
+        else:
+            obj_locs = data_dict["obj_locs"]
+            obj_masks = data_dict["obj_masks"]
+
+        if self.inter == "before":
+            out["inter_text_embed"] = lang_feats[:, 0]
+            out["inter_obj_embeds"] = point_feats
+
+        language_fuse, point_fuse = self.unified_encoder(
+            lang_feats, txt_masks, point_feats, obj_locs, obj_masks
+        )
+        if self.inter != "before":
+            out["inter_text_embed"] = language_fuse[:, 0]
+            out["inter_obj_embeds"] = point_fuse
+
+        language_cls = language_fuse[:, 0]
+        out["intra_text_embed"] = language_cls
+        out["intra_obj_embeds"] = point_fuse
+        out["obj_cls_raw_logits"] = obj_cls_raw_logits
+        og3d = jnp.einsum("bod,bd->bo", point_fuse, language_cls)
+        out["og3d_logits"] = og3d.reshape(B, L, O) if use_per_scene else og3d
+        # reference :203-229 skips ground_head in the per-scene variant
+        masks = {"obj_masks": obj_masks, "txt_masks": txt_masks}
+        if getattr(self, "qa_head", None) is not None:
+            out["answer_scores"] = self.qa_head(
+                point_fuse, masks["obj_masks"], language_fuse, masks["txt_masks"]
+            )
+        if getattr(self, "pretrain_head", None) is not None:
+            output = self.pretrain_head(language_fuse, point_fuse)
+            if isinstance(output, tuple):
+                out["txt_lm_cls_logits"], out["obj_cls_post_logits"] = output
+            else:
+                out["txt_lm_cls_logits"] = output
+        return out

@@ -37,7 +37,7 @@ class BertLMPredictionHead(nnx.Module):
         self.bias = nnx.Param(jnp.zeros((vocab_size,)))
 
     def __call__(self, x):
-        return self.decoder(self.transform(x)) + self.bias.value
+        return self.decoder(self.transform(x)) + self.bias[...]
 
 
 @HEADS_REGISTRY.register()

@@ -80,8 +80,8 @@ class MultiHeadAttention(nnx.Module):
                  key_padding_mask: Optional[Array] = None,
                  attn_mask: Optional[Array] = None):
         if self.same_dims:
-            w = self.in_proj.kernel.value  # (D, 3D)
-            b = self.in_proj.bias.value
+            w = self.in_proj.kernel[...]  # (D, 3D)
+            b = self.in_proj.bias[...]
             d = self.d_model
             if query is key and key is value:
                 qkv = query @ w + b

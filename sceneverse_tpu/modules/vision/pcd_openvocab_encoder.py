@@ -139,7 +139,7 @@ class PointOpenVocabEncoder(nnx.Module):
             obj_embeds = jax.lax.stop_gradient(obj_embeds)
 
         # open-vocab semantic class distribution (:142), detached
-        logits = obj_embeds @ self.text_features.value.T
+        logits = obj_embeds @ self.text_features[...].T
         obj_sem_cls = jax.lax.stop_gradient(jax.nn.softmax(logits, axis=2))
 
         obj_embeds_pre = obj_embeds

@@ -1,0 +1,6 @@
+from sceneverse_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    get_mesh,
+    replicated,
+    shard_batch,
+)
