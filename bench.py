@@ -31,23 +31,32 @@ WARMUP = 3
 ITERS = 10
 
 
-def main():
+def main(bf16: bool = True):
     import jax
     from flax import nnx
 
     import sceneverse_tpu.model  # noqa: F401
     from sceneverse_tpu.model import build_model
     from sceneverse_tpu.optim.build import build_optim
+    from sceneverse_tpu.utils.precision import enable_mixed_precision
     from __graft_entry__ import _gps_batch, _gps_cfg
 
     cfg = _gps_cfg()
     model = build_model(cfg, rngs=nnx.Rngs(0))
     model.train()
+    if bf16:
+        enable_mixed_precision(model)
     loss_mod, tx, _, _ = build_optim(cfg, model, total_steps=10_000)
     optimizer = nnx.Optimizer(model, tx, wrt=nnx.Param)
 
-    @nnx.jit
-    def train_step(model, optimizer, batch):
+    # functional step: split once, pure jit — avoids per-call NNX graph
+    # traversal overhead in the hot loop
+    graphdef, state = nnx.split((model, optimizer))
+
+    @jax.jit
+    def train_step(state, batch):
+        model, optimizer = nnx.merge(graphdef, state)
+
         def loss_fn(model):
             out = model(batch)
             total, _ = loss_mod(out)
@@ -55,18 +64,21 @@ def main():
 
         total, grads = nnx.value_and_grad(loss_fn)(model)
         optimizer.update(model, grads)
-        return total
+        _, new_state = nnx.split((model, optimizer))
+        return total, new_state
 
     batch = _gps_batch(BATCH, NUM_OBJ, NUM_POINTS, SEQ_LEN, cap_len=CAP_LEN)
 
     for _ in range(WARMUP):
-        total = train_step(model, optimizer, batch)
-    jax.block_until_ready(total)
+        total, state = train_step(state, batch)
+    # fetching the scalar forces full completion (plain block_until_ready has
+    # under-measured through the remote-execution proxy)
+    float(total)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        total = train_step(model, optimizer, batch)
-    jax.block_until_ready(total)
+        total, state = train_step(state, batch)
+    float(total)
     dt = time.perf_counter() - t0
 
     scenes_per_sec = BATCH * ITERS / dt
