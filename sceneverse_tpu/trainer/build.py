@@ -69,6 +69,10 @@ class BaseTrainer:
         self.logger = MetricsLogger(cfg, self.exp_tracker.exp_name)
         self.mesh = get_mesh()
 
+        from sceneverse_tpu.utils.profiling import setup_from_config
+
+        self.profile_enabled, self.profile_steps = setup_from_config(cfg)
+
         keys = ["train", "val", "test"] if self.mode == "train" else ["test"]
         self.data_loaders = {k: build_dataloader(cfg, split=k) for k in keys}
 

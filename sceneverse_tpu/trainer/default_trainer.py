@@ -20,49 +20,64 @@ class DefaultTrainer(BaseTrainer):
         return self.evaluator
 
     def train_step(self, epoch):
+        from sceneverse_tpu.utils.profiling import trace
+
         self.model.train()
         loader = self.data_loaders["train"]
         n = len(loader)
         pbar = tqdm(range(n), desc=f"[Epoch {epoch + 1}/{self.epochs}]",
                     disable=self.hard_debug)
         evaluator = self._train_evaluator()
-        for i, data_dict in enumerate(loader):
-            # mixup-style schedules read cur_step/total_steps
-            # (reference default_trainer.py:32-33)
-            data_dict["cur_step"] = epoch * n + i
-            data_dict["total_steps"] = self.total_steps
-            out, losses = self.train_forward_backward(data_dict)
-            metrics = evaluator.batch_metrics({**data_dict, **jax_to_host(out)})
-            self.global_step += 1
-            log_dict = {"step": self.global_step}
-            log_dict.update(losses)
-            log_dict.update(metrics)
-            self.log(log_dict, mode="train")
-            pbar.update(1)
+        profiling = self.profile_enabled and epoch == 0
+        exp_dir = self.cfg.get("exp_dir") or "."
+        with trace(f"{exp_dir}/profile", enabled=profiling and n > 0):
+            for i, data_dict in enumerate(loader):
+                # mixup-style schedules read cur_step/total_steps
+                # (reference default_trainer.py:32-33)
+                data_dict["cur_step"] = epoch * n + i
+                data_dict["total_steps"] = self.total_steps
+                out, losses = self.train_forward_backward(data_dict)
+                metrics = evaluator.batch_metrics({**data_dict, **jax_to_host(out)})
+                self.global_step += 1
+                log_dict = {"step": self.global_step}
+                log_dict.update(losses)
+                log_dict.update(metrics)
+                self.log(log_dict, mode="train")
+                pbar.update(1)
+                if profiling and i + 1 >= self.profile_steps:
+                    break
         pbar.close()
 
-    def eval_step(self, epoch):
+    def _eval_loop(self, split, mode):
+        """Run a split through its evaluator(s); supports per-dataset lists
+        (reference build_eval :65-75 returns lists for multi-val configs)."""
         self.model.eval()
-        evaluator = self._val_evaluator()
-        for data_dict in self.data_loaders["val"]:
-            out = self.forward(data_dict)
-            evaluator.update({**data_dict, **jax_to_host(out)})
-        is_best, results = evaluator.record()
+        evaluators = self._val_evaluator()
+        loaders = self.data_loaders[split]
+        ev_list = evaluators if isinstance(evaluators, list) else [evaluators]
+        ld_list = loaders if isinstance(loaders, list) else [loaders]
+        if len(ev_list) == 1 and len(ld_list) > 1:
+            ev_list = ev_list * len(ld_list)
+        is_best, results = False, {}
+        for ev, ld in zip(ev_list, ld_list):
+            for data_dict in ld:
+                out = self.forward(data_dict)
+                ev.update({**data_dict, **jax_to_host(out)})
+            best_i, res_i = ev.record()
+            is_best = is_best or best_i
+            results.update(res_i)
+            self.log(res_i, mode=mode)
+            ev.reset()
+        return is_best, results
+
+    def eval_step(self, epoch):
+        is_best, results = self._eval_loop("val", "val")
         if is_best:
             self.best_metric = results["target_metric"]
-        self.log(results, mode="val")
-        evaluator.reset()
         return is_best
 
     def test_step(self):
-        self.model.eval()
-        evaluator = self._val_evaluator()
-        for data_dict in self.data_loaders["test"]:
-            out = self.forward(data_dict)
-            evaluator.update({**data_dict, **jax_to_host(out)})
-        is_best, results = evaluator.record()
-        self.log(results, mode="test")
-        evaluator.reset()
+        _, results = self._eval_loop("test", "test")
         return results
 
     def run(self):
