@@ -738,9 +738,26 @@ class ScanBase:
                              rot_aug=False, rng=None):
         """Per-object subsample to num_points + center + unit-sphere normalize
         + optional 90-degree z rotation (:697-740), vectorized across objects
-        after the (ragged) subsample gather."""
+        after the (ragged) subsample gather.
+
+        With ``data.args.native_loader: true`` the whole loop runs in the C++
+        batch-assembly library (sceneverse_tpu.data.native) — same semantics,
+        different (native) RNG stream.
+        """
         rng = rng if rng is not None else np.random
         rot = build_rotate_mat(self.split, rot_aug, rng=rng)
+
+        if self.cfg.data.args.get("native_loader", False):
+            from sceneverse_tpu.data.native import get_lib, obj_processing_post_native
+
+            if get_lib() is not None:
+                seed = int(rng.randint(0, 2**31)) if rng is not np.random \
+                    else int(np.random.randint(0, 2**31))
+                obj_fts, obj_locs, obj_boxes = obj_processing_post_native(
+                    obj_pcds, self.num_points, rot=rot, seed=seed
+                )
+                return (obj_fts, obj_locs, obj_boxes,
+                        np.asarray(obj_labels, np.int64))
 
         locs, boxes, sampled = [], [], []
         for pc in obj_pcds:

@@ -67,7 +67,15 @@ class BaseTrainer:
         self.mode = cfg.get("mode", "train")
         self.exp_tracker = Tracker(cfg)
         self.logger = MetricsLogger(cfg, self.exp_tracker.exp_name)
-        self.mesh = get_mesh()
+        # dp width: min(available devices, cfg.num_gpu, batch divisibility)
+        import jax
+
+        n_dev = len(jax.devices())
+        dp = min(n_dev, int(cfg.get("num_gpu", n_dev)) or n_dev)
+        batch = int(cfg.dataloader.batchsize)
+        while dp > 1 and batch % dp != 0:
+            dp -= 1
+        self.mesh = get_mesh(num_devices=dp)
 
         from sceneverse_tpu.utils.profiling import setup_from_config
 
