@@ -127,8 +127,30 @@ class PointnetSAModule(nnx.Module):
 
         Returns (new_xyz (B, npoint, 3) or None, new_features (B, npoint, C')).
         """
-        # the fused kernel pays off on large point counts (SA1); small levels
-        # (SA2: N=32) are cheap in XLA and would waste lane padding
+        # fully-fused frozen path: FPS+query+group+MLP+maxpool in one kernel
+        # (BN must be frozen/eval; set via set_fused_frozen)
+        if (self.npoint is not None and self.use_pallas
+                and getattr(self, "fused_frozen", False)
+                and len(self.mlp.layers) == 3):
+            from sceneverse_tpu.ops.pallas.sa_forward import (
+                fold_shared_mlp,
+                fused_sa_forward_frozen,
+            )
+
+            pts = (
+                jnp.concatenate([xyz, features], axis=-1)
+                if features is not None else xyz
+            )
+            (w1, s1), (w2, s2), (w3, s3) = fold_shared_mlp(self.mlp)
+            pooled, new_xyz = fused_sa_forward_frozen(
+                pts, self.npoint, self.nsample, self.radius,
+                w1, s1, w2, s2, w3, s3,
+            )
+            return (jax.lax.stop_gradient(new_xyz),
+                    jax.lax.stop_gradient(pooled))
+
+        # the fused sampling kernel pays off on large point counts (SA1);
+        # small levels (SA2: N=32) are cheap in XLA and would waste padding
         if self.npoint is not None and self.use_pallas and xyz.shape[1] >= 256:
             from sceneverse_tpu.ops.pallas.sample_group import sample_and_group
 
@@ -197,6 +219,13 @@ class PointNetPP(nnx.Module):
         ])
         out_n_points = sa_n_points[-1] if sa_n_points[-1] is not None else 1
         self.fc = nnx.Linear(out_n_points * sa_mlps[-1][-1], sa_mlps[-1][-1], rngs=rngs)
+
+    def set_fused_frozen(self, enabled: bool = True):
+        """Enable the fully-fused frozen-BN SA kernel on every level (valid
+        only when BatchNorm runs with frozen/eval statistics — the GPS
+        freeze configuration)."""
+        for sa in self.encoder:
+            sa.fused_frozen = enabled
 
     def __call__(self, features: Array) -> Array:
         """features: (B, P, 3 + C)."""

@@ -95,6 +95,10 @@ class PointOpenVocabEncoder(nnx.Module):
         self.dropout = nnx.Dropout(0.1, rngs=rngs)
         self.attn_type = attn_type
         self.freeze = freeze
+        if freeze:
+            # frozen backbone -> BN stats are fixed -> the fully-fused
+            # SA+MLP+maxpool Pallas kernel applies
+            self.point_feature_extractor.set_fused_frozen(True)
 
         # semantic cls embed layer (:60-62) — built for ckpt parity, unused in
         # the live forward path (reference forward keeps it commented out).

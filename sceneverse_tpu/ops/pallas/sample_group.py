@@ -182,7 +182,7 @@ def _shift_scan_cols(a: Array, n: int) -> Array:
                                              "exact"))
 def fused_sample_and_group(pts: Array, npoint: int, nsample: int,
                            radius: float, interpret: bool = False,
-                           block_objects: int = 8, exact: bool = True):
+                           block_objects: int = 16, exact: bool = True):
     """Fused SA front end.
 
     Args:
