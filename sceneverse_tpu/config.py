@@ -104,7 +104,13 @@ def _parse_value(raw: str) -> Any:
     try:
         return ast.literal_eval(raw)
     except (ValueError, SyntaxError):
-        return raw
+        pass
+    if raw.startswith(("[", "{")):  # hydra-style list/dict of bare words
+        try:
+            return yaml.safe_load(raw)
+        except yaml.YAMLError:
+            pass
+    return raw
 
 
 def load_config(path: str, overrides: Iterable[str] = ()) -> Config:

@@ -7,3 +7,4 @@ from sceneverse_tpu.data.build import (  # noqa: F401
 )
 from sceneverse_tpu.data.datasets import synthetic as _synthetic  # noqa: F401
 from sceneverse_tpu.data.datasets import families as _families  # noqa: F401
+from sceneverse_tpu.data.datasets import scannet_qa as _scannet_qa  # noqa: F401

@@ -92,4 +92,53 @@ def write_synthetic_tree(root, n_scans=3, n_objects=6, pts_per_obj=80,
         text = "\n".join(scan_ids) + "\n"
         (root / f"annotations/splits/scannetv2_{split}.txt").write_text(text)
         (root / f"annotations/splits/{split}_split.txt").write_text(text)
+
+    # ---- QA annotations (ScanQA + SQA3D layouts) ----
+    (root / "annotations/qa").mkdir(parents=True, exist_ok=True)
+    (root / "annotations/sqa_task/balanced").mkdir(parents=True, exist_ok=True)
+    answers = ["chair", "table", "two", "red", "yes"]
+    qa_items = []
+    qid = 0
+    for scan_id in scan_ids:
+        for obj_i in range(3, min(n_objects, 6)):
+            qa_items.append({
+                "scene_id": scan_id,
+                "question_id": f"q{qid}",
+                "question": f"What is next to the {CATEGORIES[obj_i % len(CATEGORIES)]}?",
+                "answers": [answers[qid % len(answers)]],
+                "object_ids": [obj_i],
+                "object_names": [CATEGORIES[obj_i % len(CATEGORIES)]],
+            })
+            qid += 1
+    for split in ("train", "val", "test_w_obj"):
+        with open(root / f"annotations/qa/ScanQA_v1.0_{split}.json", "w") as f:
+            json.dump(qa_items, f)
+
+    with open(root / "annotations/sqa_task/answer_dict.json", "w") as f:
+        json.dump([{a: i for i, a in enumerate(sorted(set(answers) | {"u"}))},
+                   {}], f)
+    sqa_annos, sqa_questions = [], []
+    for i, item in enumerate(qa_items):
+        sqa_annos.append({
+            "scene_id": item["scene_id"],
+            "question_id": 1000 + i,
+            "answers": [{"answer": item["answers"][0],
+                         "answer_confidence": "yes", "answer_id": 1}],
+            "position": {"x": 0.0, "y": 0.0, "z": 0.0},
+            "rotation": {"_x": 0, "_y": 0, "_z": 0, "_w": 1},
+        })
+        sqa_questions.append({
+            "scene_id": item["scene_id"],
+            "question_id": 1000 + i,
+            "situation": "I am standing by the table.",
+            "alternative_situation": ["I just sat on the sofa."],
+            "question": item["question"],
+        })
+    for split in ("train", "test"):
+        with open(root / "annotations/sqa_task/balanced/"
+                  f"v1_balanced_sqa_annotations_{split}_scannetv2.json", "w") as f:
+            json.dump({"annotations": sqa_annos}, f)
+        with open(root / "annotations/sqa_task/balanced/"
+                  f"v1_balanced_questions_{split}_scannetv2.json", "w") as f:
+            json.dump({"questions": sqa_questions}, f)
     return root

@@ -44,7 +44,7 @@ class ScanQAEval(BaseEvaluator):
         correct1 = jnp.sum(labels[rows, choice_1] == 1)
         import jax.lax as lax
 
-        _, choice_10 = lax.top_k(scores, 10)
+        _, choice_10 = lax.top_k(scores, min(10, scores.shape[-1]))
         hits10 = jnp.take_along_axis(labels, choice_10, axis=1) == 1
         correct10 = jnp.sum(jnp.any(hits10, axis=1))
 

@@ -46,7 +46,7 @@ class SQA3DEval(BaseEvaluator):
         rows = jnp.arange(total)
         choice_1 = jnp.argmax(scores, axis=-1)
         hit1 = labels[rows, choice_1] == 1
-        _, choice_10 = lax.top_k(scores, 10)
+        _, choice_10 = lax.top_k(scores, min(10, scores.shape[-1]))
         hit10 = jnp.any(jnp.take_along_axis(labels, choice_10, axis=1) == 1, axis=1)
 
         metrics = {
