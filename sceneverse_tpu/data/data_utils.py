@@ -136,6 +136,72 @@ def random_point_cloud(pcd_mask, mask_ratio, rng=None):
     return (pcd_mask != 0) & ~drop
 
 
+class Vocabulary:
+    """Caption-generation vocabulary with token↔id↔BERT-id maps
+    (reference data_utils.py:371-403; reference persists via torch.save —
+    here a plain .npz keeps the loader torch-free)."""
+
+    def __init__(self, path=None):
+        self.vocab = {}
+        self.id_to_vocab = {}
+        self.id_to_bert = {}
+        if path is not None:
+            blob = np.load(path, allow_pickle=True)
+            self.vocab = blob["vocab"].item()
+            self.id_to_vocab = blob["id_to_vocab"].item()
+            self.id_to_bert = blob["id_to_bert"].item()
+
+    def add_token(self, token, bert_id):
+        if token in self.vocab:
+            return
+        idx = len(self.vocab)
+        self.vocab[token] = idx
+        self.id_to_vocab[idx] = token
+        self.id_to_bert[idx] = bert_id
+
+    def token_to_id(self, token):
+        return self.vocab[token]
+
+    def id_to_token(self, idx):
+        return self.id_to_vocab[idx]
+
+    def id_to_bert_id(self, idx):
+        return self.id_to_bert[idx]
+
+    def save_vocab(self, path):
+        np.savez(path, vocab=np.asarray(self.vocab, dtype=object),
+                 id_to_vocab=np.asarray(self.id_to_vocab, dtype=object),
+                 id_to_bert=np.asarray(self.id_to_bert, dtype=object))
+
+    def __len__(self):
+        return len(self.vocab)
+
+
+def random_caption_word(tokens, tokens_mask, tokenizer, vocab, mask_ratio, rng=None):
+    """Caption-word masking for generation pretraining (reference :406-425):
+    [SEP] always masks to the vocab's [EOS] label; other valid non-[CLS]
+    tokens mask with ``mask_ratio`` probability, labeled with their vocab id.
+    Unmasked / pad / [CLS] positions get label -1."""
+    rng = rng or np.random
+    tokens = np.asarray(tokens)
+    tokens_mask = np.asarray(tokens_mask)
+    out = tokens.copy()
+    labels = np.full(tokens.shape, -1, dtype=np.int64)
+    cls_id = getattr(tokenizer, "cls_token_id", 101)
+    sep_id = getattr(tokenizer, "sep_token_id", 102)
+    prob = rng.rand(*tokens.shape)
+    for i, token in enumerate(tokens):
+        if tokens_mask[i] == 0 or token == cls_id:
+            continue
+        if token == sep_id:
+            out[i] = tokenizer.mask_token_id
+            labels[i] = vocab.token_to_id("[EOS]")
+        elif prob[i] < mask_ratio:
+            out[i] = tokenizer.mask_token_id
+            labels[i] = vocab.token_to_id(tokenizer.decode([int(token)]))
+    return out, labels
+
+
 def pad_array(arr, length, pad=0, dtype=None):
     """Pad axis 0 to ``length`` (reference pad_tensors :345-353)."""
     arr = np.asarray(arr)

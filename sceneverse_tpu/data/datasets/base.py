@@ -71,6 +71,24 @@ class ScanBase:
         self.scannet_dir = cfg.data.scan_family_base
         self.load_scene_pcds = cfg.data.args.get("load_scene_pcds", False)
         self.filter_lang = cfg.data.args.get("filter_lang", False)
+        # Optional scan-level feature hooks (reference scannet_base.py:46-134,
+        # init_dataset_params :459-461). The reference gates multiview/voxel
+        # behind cfg.data flags but never defines their loaders
+        # (`_load_multiview_info` / `_load_mask3d_voxel` don't exist — the
+        # flags would AttributeError there); we fail with a clear message.
+        # The segment / offline-feature paths do read real files.
+        self.load_multiview_info = cfg.data.get("load_multiview_info", False)
+        self.load_mask3d_voxel = cfg.data.get("load_mask3d_voxel", False)
+        self.load_segment_info = cfg.data.args.get("load_segment_info", False)
+        self.load_offline_segment_voxel = cfg.data.args.get(
+            "load_offline_segment_voxel", False)
+        self.load_offline_segment_image = cfg.data.args.get(
+            "load_offline_segment_image", False)
+        if self.load_multiview_info or self.load_mask3d_voxel:
+            raise NotImplementedError(
+                "multiview/mask3d-voxel scan features: the reference's own "
+                "loaders are absent (scannet_base.py:113-117 call undefined "
+                "methods); no data format exists to implement against")
 
         assert self.split in ["train", "val", "test"]
         if self.split == "train":
@@ -188,6 +206,21 @@ class ScanBase:
                     sizes.append(s)
                 entry["obj_center_pred"] = centers
                 entry["obj_box_size_pred"] = sizes
+
+            # Optional mask3d segment / offline-feature hooks
+            # (reference scannet_base.py:119-133).
+            if self.load_segment_info:
+                entry["scene_pcds"] = np.load(os.path.join(
+                    self.base_dir, "scan_data", "pcd_mask3d",
+                    f"{scan_id[-7:]}.npy"))
+            if self.load_offline_segment_voxel:
+                entry["offline_segment_voxel"] = _load_pth(os.path.join(
+                    self.base_dir, "scan_data", "mask3d_voxel_feature",
+                    f"{scan_id}.pth"))
+            if self.load_offline_segment_image:
+                entry["offline_segment_image"] = _load_pth(os.path.join(
+                    self.base_dir, "scan_data", "mask3d_image_feature",
+                    f"{scan_id}.pth"))
             scans[scan_id] = entry
         return scans
 

@@ -7,6 +7,7 @@ pure array op); re-exported here to keep the reference's import surface.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from flax import nnx
 
 from sceneverse_tpu.ops.geometry import calc_pairwise_locs, calc_pairwise_locs_mv  # noqa: F401
@@ -57,3 +58,59 @@ def layer_repeat(factory, n: int, share_layer: bool = False):
         layer = factory()
         return [layer] * n
     return [factory() for _ in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# Label-mixup schedules (reference modules/utils.py:117-165). The reference
+# encoder keeps these commented out of its forward path
+# (pcd_openvocab_encoder.py:94-96,144-155) but ships them; both are provided
+# here as vectorized, jit-safe functions (the reference loops per object).
+# ---------------------------------------------------------------------------
+
+
+def get_mixup_function(mixup_strategy, mixup_stage1=None, mixup_stage2=None):
+    """reference modules/utils.py:117-125."""
+    if mixup_strategy is None:
+        return None
+    assert mixup_strategy in ("linear_decay", "all_mixup")
+    if mixup_strategy == "linear_decay":
+        return LinearDecayMixup(mixup_stage1, mixup_stage2)
+    return AllMixup()
+
+
+class AllMixup:
+    """Replace every labelled object's class distribution with its one-hot
+    ground truth (reference modules/utils.py:128-138)."""
+
+    def __call__(self, obj_sem_cls_pred, obj_labels, cur_step=None,
+                 total_steps=None, rng_key=None):
+        num_cls = obj_sem_cls_pred.shape[-1]
+        onehot = jax.nn.one_hot(jnp.clip(obj_labels, 0), num_cls,
+                                dtype=obj_sem_cls_pred.dtype)
+        valid = (obj_labels >= 0)[..., None]
+        return jnp.where(valid, onehot, jnp.zeros_like(obj_sem_cls_pred))
+
+
+class LinearDecayMixup:
+    """Mixup ratio 1.0 until ``stage1``·total steps, linearly decaying to 0 at
+    ``stage2``·total (reference modules/utils.py:141-165). Random per-object
+    Bernoulli(ratio) selects which labelled objects get their one-hot label."""
+
+    def __init__(self, mixup_stage1, mixup_stage2):
+        assert mixup_stage2 > mixup_stage1
+        self.stage1_rate = mixup_stage1
+        self.stage2_rate = mixup_stage2
+
+    def __call__(self, obj_sem_cls_pred, obj_labels, cur_step, total_steps,
+                 rng_key=None):
+        s1 = total_steps * self.stage1_rate
+        s2 = total_steps * self.stage2_rate
+        ratio = jnp.clip((s2 - cur_step) / (s2 - s1), 0.0, 1.0)
+        if rng_key is None:
+            rng_key = jax.random.PRNGKey(0)
+        rand = jax.random.uniform(rng_key, obj_sem_cls_pred.shape[:2])
+        pick = (rand < ratio) & (obj_labels >= 0)
+        num_cls = obj_sem_cls_pred.shape[-1]
+        onehot = jax.nn.one_hot(jnp.clip(obj_labels, 0), num_cls,
+                                dtype=obj_sem_cls_pred.dtype)
+        return jnp.where(pick[..., None], onehot, obj_sem_cls_pred)
