@@ -31,7 +31,8 @@ Array = jax.Array
 
 
 def _kernel(pts_ref, ptst_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
-            pooled_ref, newxyz_ref, *, npoint, nsample, radius, n, bo, hs):
+            pooled_ref, newxyz_ref, g_ref, *, npoint, nsample, radius, n, bo,
+            hs):
     """Block of ``bo`` objects. w_i refs are (H_i, Cin_i) bf16 (pre-transposed
     kernels); s_i refs are (2, H_i) f32 [scale; shift] (BN folded, or
     [1; bias]). pooled_ref (bo, H3, m) f32; newxyz_ref (bo, 8, m) f32."""
@@ -43,13 +44,23 @@ def _kernel(pts_ref, ptst_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
     lane = lax.broadcasted_iota(jnp.int32, (bo, n), 1)
     m_iota = lax.broadcasted_iota(jnp.int32, (bo, npoint), 1)
 
-    # ---- FPS across the block (identical to sample_group._kernel) ----
+    # ---- FPS across the block (same selection math as sample_group._kernel).
+    # The coords of the point picked at step j-1 are already extracted inside
+    # step j's distance update, so the centers accumulate in the same loop —
+    # a second extraction pass over npoint would double the reduction count
+    # (it measured as ~half the kernel's FPS time).
+    zeros_m = jnp.zeros((bo, npoint), jnp.float32)
+
     def fps_body(j, carry):
-        old, mindist, idxs = carry
+        old, mindist, idxs, cxa, cya, cza = carry
         sel = lane == old
         xi = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
         yi = jnp.sum(jnp.where(sel, y, 0.0), axis=1, keepdims=True)
         zi = jnp.sum(jnp.where(sel, z, 0.0), axis=1, keepdims=True)
+        put = m_iota == (j - 1)
+        cxa = jnp.where(put, xi, cxa)
+        cya = jnp.where(put, yi, cya)
+        cza = jnp.where(put, zi, cza)
         d = (x - xi) ** 2 + (y - yi) ** 2 + (z - zi) ** 2
         mindist = jnp.where(valid, jnp.minimum(mindist, d), mindist)
         cand = jnp.where(valid, mindist, -1.0)
@@ -58,26 +69,21 @@ def _kernel(pts_ref, ptst_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
             jnp.where(cand == best, lane, n), axis=1, keepdims=True
         ).astype(jnp.int32)
         idxs = jnp.where(m_iota == j, new, idxs)
-        return new, mindist, idxs
+        return new, mindist, idxs, cxa, cya, cza
 
     init = (jnp.zeros((bo, 1), jnp.int32),
             jnp.full((bo, n), 1e10, jnp.float32),
-            jnp.zeros((bo, npoint), jnp.int32))
-    _, _, fps_idxs = lax.fori_loop(1, npoint, fps_body, init)
+            jnp.zeros((bo, npoint), jnp.int32),
+            zeros_m, zeros_m, zeros_m)
+    last, _, fps_idxs, cxa, cya, cza = lax.fori_loop(1, npoint, fps_body, init)
 
-    def center_body(i, acc):
-        cxa, cya, cza = acc
-        cur = jnp.sum(jnp.where(m_iota == i, fps_idxs, 0), axis=1, keepdims=True)
-        sel = lane == cur
-        put = m_iota == i
-        cxa = jnp.where(put, jnp.sum(jnp.where(sel, x, 0.0), 1, keepdims=True), cxa)
-        cya = jnp.where(put, jnp.sum(jnp.where(sel, y, 0.0), 1, keepdims=True), cya)
-        cza = jnp.where(put, jnp.sum(jnp.where(sel, z, 0.0), 1, keepdims=True), cza)
-        return cxa, cya, cza
-
-    zeros_m = jnp.zeros((bo, npoint), jnp.float32)
-    cxa, cya, cza = lax.fori_loop(0, npoint, center_body,
-                                  (zeros_m, zeros_m, zeros_m))
+    # final center: the point chosen at step npoint-1 (loop extracted only
+    # through npoint-2); also covers npoint == 1 where the loop never runs
+    sel = lane == last
+    put = m_iota == (npoint - 1)
+    cxa = jnp.where(put, jnp.sum(jnp.where(sel, x, 0.0), 1, keepdims=True), cxa)
+    cya = jnp.where(put, jnp.sum(jnp.where(sel, y, 0.0), 1, keepdims=True), cya)
+    cza = jnp.where(put, jnp.sum(jnp.where(sel, z, 0.0), 1, keepdims=True), cza)
     newxyz_ref[:, 0, :] = cxa
     newxyz_ref[:, 1, :] = cya
     newxyz_ref[:, 2, :] = cza
@@ -105,6 +111,12 @@ def _kernel(pts_ref, ptst_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
             preferred_element_type=jnp.float32,
         )
 
+    # Stage 1 — per-object ball query + gather into the VMEM scratch. The
+    # grouped (C, npoint*nsample) slab per object is cheap to hold; deferring
+    # the MLP lets stage 2 batch it across objects (3 wide MXU dots per
+    # segment instead of 3 tiny dots per object per chunk — the per-call MXU
+    # overhead of ~200 small matmuls per block dominated this kernel).
+    opc = npoint * nsample  # scratch columns per object
     for b in range(bo):
         xT = ptst_ref[b, :, 0:1]
         yT = ptst_ref[b, :, 1:2]
@@ -128,12 +140,17 @@ def _kernel(pts_ref, ptst_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
         centers_b = jnp.concatenate([cxr, cyr, czr], axis=0)  # (3, m)
         centers_rep = pltpu.repeat(centers_b, ns_c, 1)  # (3, cols)
         pts_b = pts_ref[b, :, :].astype(jnp.bfloat16)
+        # hoist the slot-index algebra out of the chunk loop: comparing
+        # (ranks - slot) / (count - slot) against a per-chunk scalar saves
+        # two full-width adds per chunk
+        slot0 = col_slot.astype(jnp.float32)
+        ranks_rel = ranks_rep - slot0
+        count_rel = count_rep - slot0
 
-        pooled = jnp.full((h3, npoint), -3.0e38, jnp.float32)
         for chunk in range(nsample // ns_c):
-            slot_f = (col_slot + (chunk * ns_c + 1)).astype(jnp.float32)
-            hit = within_rep * (ranks_rep == slot_f).astype(jnp.float32)
-            sel = jnp.where(slot_f <= count_rep, hit, first_rep)
+            c1 = jnp.float32(chunk * ns_c + 1)
+            hit = within_rep * (ranks_rel == c1).astype(jnp.float32)
+            sel = jnp.where(count_rel >= c1, hit, first_rep)
             grouped = lax.dot_general(
                 pts_b, sel.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -141,13 +158,27 @@ def _kernel(pts_ref, ptst_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
             g = jnp.concatenate(
                 [grouped[0:3, :] - centers_rep, grouped[3:, :]], axis=0
             )  # (C, cols): centered xyz ++ features
-            h = jnp.maximum(dotT(w1, g) * a1 + b1, 0.0)
-            h = jnp.maximum(dotT(w2, h) * a2 + b2, 0.0)
-            h = jnp.maximum(dotT(w3, h) * a3 + b3, 0.0)  # (H3, cols)
-            for sl in range(ns_c):
-                seg = slice(sl * npoint, (sl + 1) * npoint)
+            off = b * opc + chunk * cols
+            g_ref[:, off:off + cols] = g
+
+    # Stage 2 — object-batched MLP + slot max-pool. Numerics are identical
+    # to the per-object dots: each scratch column goes through the same
+    # bf16-operand / f32-accumulate contraction regardless of batching.
+    sobj = max(1, 4096 // opc)
+    while bo % sobj != 0:
+        sobj -= 1
+    for s in range(0, bo, sobj):
+        g = g_ref[:, s * opc:(s + sobj) * opc]
+        h = jnp.maximum(dotT(w1, g) * a1 + b1, 0.0)
+        h = jnp.maximum(dotT(w2, h) * a2 + b2, 0.0)
+        h = jnp.maximum(dotT(w3, h) * a3 + b3, 0.0)  # (H3, sobj*opc)
+        for bb in range(sobj):
+            pooled = jnp.full((h3, npoint), -3.0e38, jnp.float32)
+            for sl in range(nsample):
+                seg = slice(bb * opc + sl * npoint,
+                            bb * opc + (sl + 1) * npoint)
                 pooled = jnp.maximum(pooled, h[:, seg])
-        pooled_ref[b, :, :] = pooled
+            pooled_ref[s + bb, :, :] = pooled
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "nsample", "radius",
@@ -203,6 +234,7 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
             jax.ShapeDtypeStruct((G, hs[2], npoint), jnp.float32),
             jax.ShapeDtypeStruct((G, 8, npoint), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((C, bo * npoint * nsample), jnp.float32)],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
