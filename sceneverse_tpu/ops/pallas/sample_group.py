@@ -54,12 +54,21 @@ def _kernel(pts_ref, ptst_ref, out_ref, newxyz_ref, fpsidx_ref, bqidx_ref,
     m_iota = lax.broadcasted_iota(jnp.int32, (bo, npoint), 1)
 
     # ------------- FPS, vectorized across the block's objects -------------
+    # Centers fold into the same loop: step j's distance update already
+    # extracts the coords of the point picked at step j-1, so a second
+    # npoint-iteration extraction pass would double the reduction count.
+    zeros_m = jnp.zeros((bo, npoint), jnp.float32)
+
     def fps_body(j, carry):
-        old, mindist, idxs = carry  # old (bo, 1) i32
+        old, mindist, idxs, cxa, cya, cza = carry  # old (bo, 1) i32
         sel = lane == old  # (bo, N)
         xi = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
         yi = jnp.sum(jnp.where(sel, y, 0.0), axis=1, keepdims=True)
         zi = jnp.sum(jnp.where(sel, z, 0.0), axis=1, keepdims=True)
+        put = m_iota == (j - 1)
+        cxa = jnp.where(put, xi, cxa)
+        cya = jnp.where(put, yi, cya)
+        cza = jnp.where(put, zi, cza)
         d = (x - xi) ** 2 + (y - yi) ** 2 + (z - zi) ** 2
         mindist = jnp.where(valid, jnp.minimum(mindist, d), mindist)
         cand = jnp.where(valid, mindist, -1.0)
@@ -68,33 +77,22 @@ def _kernel(pts_ref, ptst_ref, out_ref, newxyz_ref, fpsidx_ref, bqidx_ref,
             jnp.where(cand == best, lane, n), axis=1, keepdims=True
         ).astype(jnp.int32)  # first-max tie-break
         idxs = jnp.where(m_iota == j, new, idxs)
-        return new, mindist, idxs
+        return new, mindist, idxs, cxa, cya, cza
 
     init = (jnp.zeros((bo, 1), jnp.int32),
             jnp.full((bo, n), 1e10, jnp.float32),
-            jnp.zeros((bo, npoint), jnp.int32))
-    _, _, fps_idxs = lax.fori_loop(1, npoint, fps_body, init)
+            jnp.zeros((bo, npoint), jnp.int32),
+            zeros_m, zeros_m, zeros_m)
+    last, _, fps_idxs, cxa, cya, cza = lax.fori_loop(1, npoint, fps_body, init)
     fpsidx_ref[:, 0, :] = fps_idxs
 
-    # centers (bo, m) per coordinate, via masked sums per center
-    def center_body(i, acc):
-        cxa, cya, cza = acc
-        # extract column i of fps_idxs with a masked reduce (traced slices
-        # of register arrays are not allowed)
-        cur = jnp.sum(
-            jnp.where(m_iota == i, fps_idxs, 0), axis=1, keepdims=True
-        )  # (bo, 1)
-        sel = lane == cur  # (bo, N)
-        put = m_iota == i
-        cxa = jnp.where(put, jnp.sum(jnp.where(sel, x, 0.0), 1, keepdims=True), cxa)
-        cya = jnp.where(put, jnp.sum(jnp.where(sel, y, 0.0), 1, keepdims=True), cya)
-        cza = jnp.where(put, jnp.sum(jnp.where(sel, z, 0.0), 1, keepdims=True), cza)
-        return cxa, cya, cza
-
-    zeros_m = jnp.zeros((bo, npoint), jnp.float32)
-    cxa, cya, cza = lax.fori_loop(
-        0, npoint, center_body, (zeros_m, zeros_m, zeros_m)
-    )
+    # final center: the point picked at step npoint-1 (also the npoint == 1
+    # case, where the loop never runs and last == index 0)
+    sel = lane == last
+    put = m_iota == (npoint - 1)
+    cxa = jnp.where(put, jnp.sum(jnp.where(sel, x, 0.0), 1, keepdims=True), cxa)
+    cya = jnp.where(put, jnp.sum(jnp.where(sel, y, 0.0), 1, keepdims=True), cya)
+    cza = jnp.where(put, jnp.sum(jnp.where(sel, z, 0.0), 1, keepdims=True), cza)
     newxyz_ref[:, 0, :] = cxa
     newxyz_ref[:, 1, :] = cya
     newxyz_ref[:, 2, :] = cza

@@ -119,3 +119,13 @@ def test_gps_grounding_finetune_path(data_root, tmp_path):
     trainer = build_trainer(cfg)
     results = trainer.run()
     assert "og_acc_iou50" in results
+
+
+def test_debug_trainer_iterates_dataloaders(data_root, tmp_path, capsys):
+    """DebugTrainer iterates every split without touching the model
+    (reference trainer/debug_trainer.py:26-44)."""
+    cfg = gps_cfg(data_root, tmp_path)
+    cfg.trainer = "DebugTrainer"
+    trainer = build_trainer(cfg)
+    trainer.run()
+    assert "all dataloaders iterated" in capsys.readouterr().out
