@@ -113,3 +113,20 @@ def test_training_reduces_loss(tmp_path):
         out, losses = trainer.train_forward_backward(dict(batch))
         losses_seen.append(float(losses["total_loss"]))
     assert losses_seen[-1] < losses_seen[0], losses_seen
+
+
+def test_mode_test_eval_only(tmp_path):
+    """mode=test runs only the test loop from a restored checkpoint
+    (reference run.py mode surface + trainer/build.py test branch)."""
+    cfg = objcls_cfg(tmp_path, epochs=1)
+    trainer = build_trainer(cfg)
+    trainer.run()
+    trainer.save("latest.pth")
+
+    cfg2 = objcls_cfg(tmp_path, epochs=1)
+    cfg2.mode = "test"
+    cfg2.resume = True
+    trainer2 = build_trainer(cfg2)
+    assert set(trainer2.data_loaders) == {"test"}
+    results = trainer2.run()
+    assert "accuracy" in results
