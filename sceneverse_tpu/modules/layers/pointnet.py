@@ -234,3 +234,218 @@ class PointNetPP(nnx.Module):
         for sa in self.encoder:
             xyz, feats = sa(xyz, feats)
         return self.fc(feats.reshape(feats.shape[0], -1))
+
+
+# ---------------------------------------------------------------------------
+# SA/FP variant library (reference pointnet2_modules.py:78-496). None of
+# these are used by the GPS model tree, but the reference ships them as part
+# of its PointNet++ library surface; all channel-last, pure XLA ops.
+# ---------------------------------------------------------------------------
+
+
+def _query_group(xyz, new_xyz, features, radius, nsample, use_xyz,
+                 normalize_xyz=False):
+    """QueryAndGroup (reference pointnet2_utils.py:291-373), channel-last.
+
+    Returns (grouped (B, M, S, C'), grouped_xyz (B, M, S, 3))."""
+    idx = ball_query(radius, nsample, xyz, new_xyz)
+    grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+    if normalize_xyz:
+        grouped_xyz = grouped_xyz / radius
+    if features is not None:
+        grouped_feats = group_points(features, idx)
+        grouped = (jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+                   if use_xyz else grouped_feats)
+    else:
+        grouped = grouped_xyz
+    return grouped, grouped_xyz
+
+
+class PointnetSAModuleMSG(nnx.Module):
+    """Multi-scale-grouping set abstraction (reference
+    pointnet2_modules.py:78-124): one FPS, one ball query + SharedMLP +
+    max-pool per (radius, nsample, mlp) scale, per-scale features
+    concatenated on the channel dim."""
+
+    def __init__(self, *, npoint: Optional[int], radii: List[float],
+                 nsamples: List[int], mlps: List[List[int]], bn: bool = True,
+                 use_xyz: bool = True, axis_name: Optional[str] = None,
+                 rngs: nnx.Rngs):
+        assert len(radii) == len(nsamples) == len(mlps)
+        self.npoint = npoint
+        self.radii = list(radii)
+        self.nsamples = list(nsamples)
+        self.use_xyz = use_xyz
+        self.mlps = nnx.List([
+            SharedMLP([spec[0] + 3 if use_xyz else spec[0]] + list(spec[1:]),
+                      bn=bn, axis_name=axis_name, rngs=rngs)
+            for spec in mlps
+        ])
+
+    def __call__(self, xyz: Array, features: Optional[Array]):
+        if self.npoint is not None:
+            new_xyz = gather_points(xyz, furthest_point_sample(xyz, self.npoint))
+        else:
+            new_xyz = None
+        outs = []
+        for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
+            if self.npoint is not None:
+                grouped, _ = _query_group(xyz, new_xyz, features, radius,
+                                          nsample, self.use_xyz)
+            else:  # GroupAll
+                grouped = (jnp.concatenate([xyz, features], axis=-1)
+                           if features is not None and self.use_xyz
+                           else (features if features is not None else xyz)
+                           )[:, None]
+            outs.append(jnp.max(mlp(grouped), axis=2))  # (B, M, C_k)
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class PointnetSAModuleVotes(nnx.Module):
+    """Single-scale SA with vote-index passthrough and max/avg/rbf pooling
+    (reference pointnet2_modules.py:164-272). Returns (new_xyz,
+    new_features, inds)."""
+
+    def __init__(self, *, mlp: List[int], npoint: Optional[int] = None,
+                 radius: Optional[float] = None, nsample: Optional[int] = None,
+                 bn: bool = True, use_xyz: bool = True, pooling: str = "max",
+                 sigma: Optional[float] = None, normalize_xyz: bool = False,
+                 axis_name: Optional[str] = None, rngs: nnx.Rngs):
+        self.npoint = npoint
+        self.radius = radius
+        self.nsample = nsample
+        self.pooling = pooling
+        self.use_xyz = use_xyz
+        self.sigma = sigma if sigma is not None else (
+            radius / 2 if radius is not None else None)
+        self.normalize_xyz = normalize_xyz
+        spec = list(mlp)
+        if use_xyz and spec:
+            spec[0] += 3
+        self.mlp = SharedMLP(spec, bn=bn, axis_name=axis_name, rngs=rngs)
+
+    def __call__(self, xyz: Array, features: Optional[Array],
+                 inds: Optional[Array] = None):
+        if inds is None:
+            inds = furthest_point_sample(xyz, self.npoint)
+        else:
+            assert inds.shape[1] == self.npoint
+        new_xyz = gather_points(xyz, inds) if self.npoint is not None else None
+
+        if self.npoint is not None:
+            grouped, grouped_xyz = _query_group(
+                xyz, new_xyz, features, self.radius, self.nsample,
+                self.use_xyz, normalize_xyz=self.normalize_xyz)
+        else:
+            grouped = (jnp.concatenate([xyz, features], axis=-1)
+                       if features is not None and self.use_xyz
+                       else (features if features is not None else xyz)
+                       )[:, None]
+            grouped_xyz = xyz[:, None]
+
+        h = self.mlp(grouped)  # (B, M, S, C')
+        if self.pooling == "max":
+            out = jnp.max(h, axis=2)
+        elif self.pooling == "avg":
+            out = jnp.mean(h, axis=2)
+        elif self.pooling == "rbf":
+            # RBF-weighted sum normalized by nsample (reference :264-268)
+            rbf = jnp.exp(-jnp.sum(grouped_xyz ** 2, axis=-1)
+                          / (self.sigma ** 2) / 2)  # (B, M, S)
+            out = jnp.sum(h * rbf[..., None], axis=2) / float(self.nsample)
+        else:
+            raise ValueError(f"unknown pooling {self.pooling!r}")
+        return new_xyz, out, inds
+
+
+class PointnetSAModuleMSGVotes(nnx.Module):
+    """MSG set abstraction with vote-index passthrough (reference
+    pointnet2_modules.py:274-354)."""
+
+    def __init__(self, *, mlps: List[List[int]], npoint: Optional[int],
+                 radii: List[float], nsamples: List[int], bn: bool = True,
+                 use_xyz: bool = True, axis_name: Optional[str] = None,
+                 rngs: nnx.Rngs):
+        self.msg = PointnetSAModuleMSG(
+            npoint=npoint, radii=radii, nsamples=nsamples, mlps=mlps, bn=bn,
+            use_xyz=use_xyz, axis_name=axis_name, rngs=rngs)
+        self.npoint = npoint
+
+    def __call__(self, xyz: Array, features: Optional[Array],
+                 inds: Optional[Array] = None):
+        if inds is None:
+            inds = furthest_point_sample(xyz, self.npoint)
+        new_xyz = gather_points(xyz, inds) if self.npoint is not None else None
+        outs = []
+        for radius, nsample, mlp in zip(self.msg.radii, self.msg.nsamples,
+                                        self.msg.mlps):
+            grouped, _ = _query_group(xyz, new_xyz, features, radius, nsample,
+                                      self.msg.use_xyz)
+            outs.append(jnp.max(mlp(grouped), axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1), inds
+
+
+class PointnetFPModule(nnx.Module):
+    """Feature propagation: inverse-distance weighted 3-NN interpolation of
+    ``known`` features onto ``unknown`` points, concat skip features, unit
+    MLP (reference pointnet2_modules.py:356-416)."""
+
+    def __init__(self, *, mlp: List[int], bn: bool = True,
+                 axis_name: Optional[str] = None, rngs: nnx.Rngs):
+        self.mlp = SharedMLP(mlp, bn=bn, axis_name=axis_name, rngs=rngs)
+
+    def __call__(self, unknown: Array, known: Optional[Array],
+                 unknown_feats: Optional[Array], known_feats: Array):
+        """unknown (B,n,3); known (B,m,3) or None; unknown_feats (B,n,C1) or
+        None; known_feats (B,m,C2) -> (B, n, mlp[-1])."""
+        from sceneverse_tpu.ops.pointops import three_interpolate, three_nn
+
+        if known is not None:
+            dist, idx = three_nn(unknown, known)
+            dist_recip = 1.0 / (dist + 1e-8)
+            weight = dist_recip / jnp.sum(dist_recip, axis=2, keepdims=True)
+            interp = three_interpolate(known_feats, idx, weight)
+        else:
+            interp = jnp.broadcast_to(
+                known_feats, (known_feats.shape[0], unknown.shape[1],
+                              known_feats.shape[2]))
+        feats = (jnp.concatenate([interp, unknown_feats], axis=-1)
+                 if unknown_feats is not None else interp)
+        return self.mlp(feats[:, :, None, :])[:, :, 0, :]
+
+
+class PointnetLFPModuleMSG(nnx.Module):
+    """Learnable multi-scale feature propagation from xyz1 onto xyz2
+    (reference pointnet2_modules.py:418-496): per scale, group xyz1's
+    features around xyz2, SharedMLP + max-pool, concat xyz2 skip feats,
+    post-MLP; scales concatenated."""
+
+    def __init__(self, *, mlps: List[List[int]], radii: List[float],
+                 nsamples: List[int], post_mlp: List[int], bn: bool = True,
+                 use_xyz: bool = True, axis_name: Optional[str] = None,
+                 rngs: nnx.Rngs):
+        assert len(mlps) == len(nsamples) == len(radii)
+        self.radii = list(radii)
+        self.nsamples = list(nsamples)
+        self.use_xyz = use_xyz
+        self.post_mlp = SharedMLP(post_mlp, bn=bn, axis_name=axis_name,
+                                  rngs=rngs)
+        self.mlps = nnx.List([
+            SharedMLP([spec[0] + 3 if use_xyz else spec[0]] + list(spec[1:]),
+                      bn=bn, axis_name=axis_name, rngs=rngs)
+            for spec in mlps
+        ])
+
+    def __call__(self, xyz2: Array, xyz1: Array, features2: Optional[Array],
+                 features1: Optional[Array]):
+        """xyz2 (B,N2,3), xyz1 (B,N1,3), features2 (B,N2,C2) or None,
+        features1 (B,N1,C1) or None -> (B, N2, sum_k post_mlp[-1])."""
+        outs = []
+        for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
+            grouped, _ = _query_group(xyz1, xyz2, features1, radius, nsample,
+                                      self.use_xyz)
+            h = jnp.max(mlp(grouped), axis=2)  # (B, N2, C)
+            if features2 is not None:
+                h = jnp.concatenate([h, features2], axis=-1)
+            outs.append(self.post_mlp(h[:, :, None, :])[:, :, 0, :])
+        return jnp.concatenate(outs, axis=-1)

@@ -1,0 +1,111 @@
+"""SA/FP variant library tests (reference pointnet2_modules.py:78-496 +
+the reference's own __main__ smoke at :499-518): shapes, pooling modes,
+vote-index passthrough, and FP interpolation math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from sceneverse_tpu.modules.layers.pointnet import (
+    PointnetFPModule,
+    PointnetLFPModuleMSG,
+    PointnetSAModuleMSG,
+    PointnetSAModuleMSGVotes,
+    PointnetSAModuleVotes,
+)
+from sceneverse_tpu.ops.pointops import gather_points
+
+B, N, C = 2, 64, 8
+rng = np.random.RandomState(0)
+
+
+def inputs():
+    xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    return xyz, feats
+
+
+def test_sa_msg_concats_scales():
+    xyz, feats = inputs()
+    m = PointnetSAModuleMSG(
+        npoint=16, radii=[0.5, 1.0], nsamples=[8, 16],
+        mlps=[[C, 16], [C, 32]], rngs=nnx.Rngs(0))
+    m.eval()
+    new_xyz, out = m(xyz, feats)
+    assert new_xyz.shape == (B, 16, 3)
+    assert out.shape == (B, 16, 16 + 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sa_votes_inds_passthrough_and_pooling():
+    xyz, feats = inputs()
+    inds = jnp.asarray(rng.randint(0, N, (B, 16)).astype(np.int32))
+    for pooling in ("max", "avg", "rbf"):
+        m = PointnetSAModuleVotes(
+            mlp=[C, 16], npoint=16, radius=0.8, nsample=8, pooling=pooling,
+            normalize_xyz=(pooling == "rbf"), rngs=nnx.Rngs(0))
+        m.eval()
+        new_xyz, out, out_inds = m(xyz, feats, inds=inds)
+        # provided inds pass through untouched; new_xyz = gather(xyz, inds)
+        np.testing.assert_array_equal(np.asarray(out_inds), np.asarray(inds))
+        np.testing.assert_allclose(np.asarray(new_xyz),
+                                   np.asarray(gather_points(xyz, inds)))
+        assert out.shape == (B, 16, 16)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sa_msg_votes():
+    xyz, feats = inputs()
+    m = PointnetSAModuleMSGVotes(
+        mlps=[[C, 16], [C, 16]], npoint=8, radii=[0.5, 1.0], nsamples=[4, 8],
+        rngs=nnx.Rngs(0))
+    m.eval()
+    new_xyz, out, inds = m(xyz, feats)
+    assert out.shape == (B, 8, 32)
+    assert inds.shape == (B, 8)
+
+
+def test_fp_interpolation_matches_manual():
+    xyz, _ = inputs()
+    known = xyz[:, :16]
+    known_feats = jnp.asarray(rng.randn(B, 16, C).astype(np.float32))
+    fp = PointnetFPModule(mlp=[C, 12], bn=False, rngs=nnx.Rngs(0))
+    fp.eval()
+    out = fp(xyz, known, None, known_feats)
+    assert out.shape == (B, N, 12)
+
+    # manual inverse-distance 3-NN interpolation feeding the same MLP
+    from sceneverse_tpu.ops.pointops import three_interpolate, three_nn
+
+    dist, idx = three_nn(xyz, known)
+    w = (1.0 / (dist + 1e-8))
+    w = w / jnp.sum(w, axis=2, keepdims=True)
+    interp = three_interpolate(known_feats, idx, w)
+    want = fp.mlp(interp[:, :, None, :])[:, :, 0, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5)
+
+
+def test_fp_known_none_broadcasts():
+    xyz, _ = inputs()
+    global_feats = jnp.asarray(rng.randn(B, 1, C).astype(np.float32))
+    fp = PointnetFPModule(mlp=[C, 12], rngs=nnx.Rngs(0))
+    fp.eval()
+    out = fp(xyz, None, None, global_feats)
+    assert out.shape == (B, N, 12)
+    # every position gets the same broadcast feature
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(out[:, 1]),
+                               rtol=1e-6)
+
+
+def test_lfp_msg_shapes():
+    xyz, feats = inputs()
+    xyz2 = xyz[:, :16]
+    feats2 = jnp.asarray(rng.randn(B, 16, 4).astype(np.float32))
+    m = PointnetLFPModuleMSG(
+        mlps=[[C, 16]], radii=[0.8], nsamples=[8], post_mlp=[16 + 4, 24],
+        rngs=nnx.Rngs(0))
+    m.eval()
+    out = m(xyz2, xyz, feats2, feats)
+    assert out.shape == (B, 16, 24)
+    assert np.isfinite(np.asarray(out)).all()
