@@ -310,12 +310,14 @@ class PointnetSAModuleVotes(nnx.Module):
                  radius: Optional[float] = None, nsample: Optional[int] = None,
                  bn: bool = True, use_xyz: bool = True, pooling: str = "max",
                  sigma: Optional[float] = None, normalize_xyz: bool = False,
+                 ret_unique_cnt: bool = False,
                  axis_name: Optional[str] = None, rngs: nnx.Rngs):
         self.npoint = npoint
         self.radius = radius
         self.nsample = nsample
         self.pooling = pooling
         self.use_xyz = use_xyz
+        self.ret_unique_cnt = ret_unique_cnt
         self.sigma = sigma if sigma is not None else (
             radius / 2 if radius is not None else None)
         self.normalize_xyz = normalize_xyz
@@ -355,6 +357,15 @@ class PointnetSAModuleVotes(nnx.Module):
             out = jnp.sum(h * rbf[..., None], axis=2) / float(self.nsample)
         else:
             raise ValueError(f"unknown pooling {self.pooling!r}")
+        if self.ret_unique_cnt:
+            # unique within-ball points actually sampled = min(#within, S)
+            # (reference pointnet2_utils.py ret_unique_cnt path)
+            d2 = jnp.sum(
+                (xyz[:, None, :, :] - new_xyz[:, :, None, :]) ** 2, axis=-1)
+            cnt = jnp.minimum(
+                jnp.sum(d2 < self.radius ** 2, axis=-1), self.nsample
+            ).astype(jnp.int32)
+            return new_xyz, out, inds, cnt
         return new_xyz, out, inds
 
 

@@ -109,3 +109,14 @@ def test_lfp_msg_shapes():
     out = m(xyz2, xyz, feats2, feats)
     assert out.shape == (B, 16, 24)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sa_votes_ret_unique_cnt():
+    xyz, feats = inputs()
+    m = PointnetSAModuleVotes(
+        mlp=[C, 16], npoint=16, radius=0.8, nsample=8, ret_unique_cnt=True,
+        rngs=nnx.Rngs(0))
+    m.eval()
+    new_xyz, out, inds, cnt = m(xyz, feats)
+    assert cnt.shape == (B, 16)
+    assert int(cnt.min()) >= 1 and int(cnt.max()) <= 8  # center always within
