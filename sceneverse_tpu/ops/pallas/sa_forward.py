@@ -4,9 +4,17 @@ SharedMLP (+ folded frozen BatchNorm + ReLU) + max-pool, one VMEM pass.
 The two-stage path (sample_group kernel -> XLA MLP) writes the grouped
 (G, m, ns, C) tensor to HBM (1.3GB lane-padded at GPS scale) and streams
 multi-hundred-MB MLP intermediates. Here the grouped block never leaves
-VMEM: the kernel applies the per-point MLP on the (C, cols) gather result in
-registers and writes only the max-pooled (C_out, m) per object — HBM output
-shrinks ~256x and the MLP becomes a handful of well-shaped MXU dots.
+VMEM and only the max-pooled (m, C_out) per object is written.
+
+The per-object pipeline runs in the TRANSPOSED (centers-on-sublanes,
+points-on-lanes) orientation: masks are (m, N) instead of (N, m), which
+cuts their vreg footprint 4x at m=32 (no 32→128 lane padding), the rank
+prefix-sum scans along lanes, the MLP weights load in their natural
+(Cin, H) layout, and both the single (bo, C, N) input and the (bo, m, H3)
+output stream lane-compact. This measured 2.9x faster than the
+(N, m)-oriented version at GPS SA1 scale with bit-identical outputs.
+Grouped slabs land in a VMEM scratch so the shared MLP runs object-batched
+(3 wide MXU dots per segment rather than 3 tiny dots per object per chunk).
 
 Restriction: BatchNorm must be frozen/eval (stats folded into scale/shift) —
 exactly the GPS configuration (reference all_pretrain.yaml:216 freeze: True,
@@ -25,18 +33,43 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sceneverse_tpu.ops.pallas.sample_group import _shift_scan_cols
-
 Array = jax.Array
 
 
-def _kernel(pts_ref, ptst_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
+def _scan_lanes(a: Array, n: int) -> Array:
+    """Inclusive prefix-sum along lanes (axis 1) of (m, N) f32.
+
+    pltpu.roll follows numpy semantics (out[i] = x[i - s]); the wrapped head
+    is masked off each step."""
+    col = lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    r = a
+    shift = 1
+    while shift < n:
+        rolled = pltpu.roll(r, shift, 1)
+        r = r + jnp.where(col < shift, 0.0, rolled)
+        shift *= 2
+    return r
+
+
+def _row_to_col(row: Array, m: int) -> Array:
+    """(1, m) -> (m, 1). Mosaic has no in-register transpose; broadcast the
+    row over sublanes, mask the diagonal, reduce over lanes (m <= 128)."""
+    b = jnp.broadcast_to(row, (m, m))
+    i = lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    j = lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    return jnp.sum(jnp.where(i == j, b, 0.0), axis=1, keepdims=True)
+
+
+def _kernel(pts_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
             pooled_ref, newxyz_ref, g_ref, *, npoint, nsample, radius, n, bo,
             hs):
-    """Block of ``bo`` objects. w_i refs are (H_i, Cin_i) bf16 (pre-transposed
-    kernels); s_i refs are (2, H_i) f32 [scale; shift] (BN folded, or
-    [1; bias]). pooled_ref (bo, H3, m) f32; newxyz_ref (bo, 8, m) f32."""
+    """Block of ``bo`` objects. pts_ref (bo, C, N) f32, rows 0..2 = xyz.
+    w_i refs are (Cin_i, H_i) bf16 (natural conv layout); s_i refs are
+    (2, H_i) f32 [scale; shift] rows (BN folded, or [1; bias]).
+    pooled_ref (bo, m, H3) f32; newxyz_ref (bo, 8, m) f32;
+    g_ref VMEM scratch (bo*m*nsample, C) f32."""
     h1, h2, h3 = hs
+    m = npoint
     x = pts_ref[:, 0, :]
     y = pts_ref[:, 1, :]
     z = pts_ref[:, 2, :]
@@ -47,8 +80,7 @@ def _kernel(pts_ref, ptst_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
     # ---- FPS across the block (same selection math as sample_group._kernel).
     # The coords of the point picked at step j-1 are already extracted inside
     # step j's distance update, so the centers accumulate in the same loop —
-    # a second extraction pass over npoint would double the reduction count
-    # (it measured as ~half the kernel's FPS time).
+    # a second extraction pass over npoint would double the reduction count.
     zeros_m = jnp.zeros((bo, npoint), jnp.float32)
 
     def fps_body(j, carry):
@@ -87,97 +119,95 @@ def _kernel(pts_ref, ptst_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
     newxyz_ref[:, 0, :] = cxa
     newxyz_ref[:, 1, :] = cya
     newxyz_ref[:, 2, :] = cza
+    newxyz_ref[:, 3:, :] = jnp.zeros((bo, 5, npoint), jnp.float32)
 
-    # ---- per-object: ball query + gather + MLP + max-pool ----
+    # ---- Stage 1: per-object ball query + gather into the VMEM scratch,
+    # (m, N) orientation throughout ----
     ns_c = max(1, min(nsample, 256 // npoint))
     while nsample % ns_c != 0:
         ns_c -= 1
-    cols = npoint * ns_c
-    col_slot = lax.broadcasted_iota(jnp.int32, (n, cols), 1) // npoint
-    row_pt_m = lax.broadcasted_iota(jnp.int32, (n, npoint), 0)
+    rows = npoint * ns_c  # selection rows per chunk (slot-major: r = sl*m + c)
+    lane_n = lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    row_slot = (lax.broadcasted_iota(jnp.int32, (rows, n), 0) // m
+                ).astype(jnp.float32)
+    opc = npoint * nsample  # scratch rows per object
 
     w1 = w1_ref[:, :]
     w2 = w2_ref[:, :]
     w3 = w3_ref[:, :]
-    # s refs are (H, 2) so the per-row affine broadcasts over columns
-    # without any in-register transpose (Mosaic has none)
-    a1, b1 = s1_ref[:, 0:1], s1_ref[:, 1:2]
-    a2, b2 = s2_ref[:, 0:1], s2_ref[:, 1:2]
-    a3, b3 = s3_ref[:, 0:1], s3_ref[:, 1:2]
+    a1, b1 = s1_ref[0:1, :], s1_ref[1:2, :]  # (1, H) rows broadcast over cols
+    a2, b2 = s2_ref[0:1, :], s2_ref[1:2, :]
+    a3, b3 = s3_ref[0:1, :], s3_ref[1:2, :]
 
-    def dotT(w, h):  # (H, Cin) x (Cin, cols) -> (H, cols), f32 accumulate
-        return lax.dot_general(
-            w, h.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    # Stage 1 — per-object ball query + gather into the VMEM scratch. The
-    # grouped (C, npoint*nsample) slab per object is cheap to hold; deferring
-    # the MLP lets stage 2 batch it across objects (3 wide MXU dots per
-    # segment instead of 3 tiny dots per object per chunk — the per-call MXU
-    # overhead of ~200 small matmuls per block dominated this kernel).
-    opc = npoint * nsample  # scratch columns per object
     for b in range(bo):
-        xT = ptst_ref[b, :, 0:1]
-        yT = ptst_ref[b, :, 1:2]
-        zT = ptst_ref[b, :, 2:3]
-        cxr = cxa[b:b + 1, :]
-        cyr = cya[b:b + 1, :]
-        czr = cza[b:b + 1, :]
-        d2T = (xT - cxr) ** 2 + (yT - cyr) ** 2 + (zT - czr) ** 2
-        withinT = (d2T < radius * radius).astype(jnp.float32)
-        ranksT = _shift_scan_cols(withinT, n)
-        countr = ranksT[n - 1:n, :]
-        firstT = jnp.min(jnp.where(withinT > 0, row_pt_m, n), axis=0,
-                         keepdims=True)
-        firstT = jnp.where(firstT == n, 0, firstT)
-        first_onehot = (row_pt_m == firstT).astype(jnp.float32)
+        x_row = x[b:b + 1, :]
+        y_row = y[b:b + 1, :]
+        z_row = z[b:b + 1, :]
+        cx_col = _row_to_col(cxa[b:b + 1, :], m)
+        cy_col = _row_to_col(cya[b:b + 1, :], m)
+        cz_col = _row_to_col(cza[b:b + 1, :], m)
+        d2 = ((x_row - cx_col) ** 2 + (y_row - cy_col) ** 2
+              + (z_row - cz_col) ** 2)  # (m, n)
+        within = (d2 < radius * radius).astype(jnp.float32)
+        ranks = _scan_lanes(within, n)
+        count_col = ranks[:, n - 1:n]  # (m, 1)
+        # first hit per center; 0 when the ball is empty (CUDA zero-init)
+        first_col = jnp.min(jnp.where(within > 0, lane_n, n), axis=1,
+                            keepdims=True)
+        first_col = jnp.where(first_col == n, 0, first_col)
+        first_oh = (lane_n == first_col).astype(jnp.float32)
 
-        within_rep = pltpu.repeat(withinT, ns_c, 1)
-        ranks_rep = pltpu.repeat(ranksT, ns_c, 1)
-        first_rep = pltpu.repeat(first_onehot, ns_c, 1)
-        count_rep = pltpu.repeat(countr, ns_c, 1)
-        centers_b = jnp.concatenate([cxr, cyr, czr], axis=0)  # (3, m)
-        centers_rep = pltpu.repeat(centers_b, ns_c, 1)  # (3, cols)
-        pts_b = pts_ref[b, :, :].astype(jnp.bfloat16)
+        within_rep = pltpu.repeat(within, ns_c, 0)  # (rows, n)
+        ranks_rep = pltpu.repeat(ranks, ns_c, 0)
+        first_rep = pltpu.repeat(first_oh, ns_c, 0)
+        count_rep = pltpu.repeat(count_col, ns_c, 0)  # (rows, 1)
         # hoist the slot-index algebra out of the chunk loop: comparing
         # (ranks - slot) / (count - slot) against a per-chunk scalar saves
         # two full-width adds per chunk
-        slot0 = col_slot.astype(jnp.float32)
-        ranks_rel = ranks_rep - slot0
-        count_rel = count_rep - slot0
+        ranks_rel = ranks_rep - row_slot
+        count_rel = count_rep - row_slot
+        centers3 = jnp.concatenate([cx_col, cy_col, cz_col], axis=1)  # (m, 3)
+        centers_rep = pltpu.repeat(centers3, ns_c, 0)  # (rows, 3)
+        pts_b = pts_ref[b, :, :].astype(jnp.bfloat16)  # (C, n)
 
         for chunk in range(nsample // ns_c):
             c1 = jnp.float32(chunk * ns_c + 1)
             hit = within_rep * (ranks_rel == c1).astype(jnp.float32)
-            sel = jnp.where(count_rel >= c1, hit, first_rep)
+            selm = jnp.where(count_rel >= c1, hit, first_rep)  # (rows, n)
             grouped = lax.dot_general(
-                pts_b, sel.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                selm.astype(jnp.bfloat16), pts_b,
+                (((1,), (1,)), ((), ())),  # contract the point dim (lanes)
                 preferred_element_type=jnp.float32,
-            )  # (C, cols)
+            )  # (rows, C) — one-hot selection: exact regardless of dtype
             g = jnp.concatenate(
-                [grouped[0:3, :] - centers_rep, grouped[3:, :]], axis=0
-            )  # (C, cols): centered xyz ++ features
-            off = b * opc + chunk * cols
-            g_ref[:, off:off + cols] = g
+                [grouped[:, 0:3] - centers_rep, grouped[:, 3:]], axis=1
+            )  # centered xyz ++ features
+            off = b * opc + chunk * rows
+            g_ref[off:off + rows, :] = g
 
-    # Stage 2 — object-batched MLP + slot max-pool. Numerics are identical
-    # to the per-object dots: each scratch column goes through the same
-    # bf16-operand / f32-accumulate contraction regardless of batching.
+    # ---- Stage 2: object-batched MLP + slot max-pool. Numerics identical
+    # to per-object dots: each scratch row goes through the same bf16-operand
+    # / f32-accumulate contraction regardless of batching. ----
     sobj = max(1, 4096 // opc)
     while bo % sobj != 0:
         sobj -= 1
+
+    def dot(h, w):
+        return lax.dot_general(h.astype(jnp.bfloat16), w,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
     for s in range(0, bo, sobj):
-        g = g_ref[:, s * opc:(s + sobj) * opc]
-        h = jnp.maximum(dotT(w1, g) * a1 + b1, 0.0)
-        h = jnp.maximum(dotT(w2, h) * a2 + b2, 0.0)
-        h = jnp.maximum(dotT(w3, h) * a3 + b3, 0.0)  # (H3, sobj*opc)
+        g = g_ref[s * opc:(s + sobj) * opc, :]
+        h = jnp.maximum(dot(g, w1) * a1 + b1, 0.0)
+        h = jnp.maximum(dot(h, w2) * a2 + b2, 0.0)
+        h = jnp.maximum(dot(h, w3) * a3 + b3, 0.0)  # (sobj*opc, H3)
         for bb in range(sobj):
-            pooled = jnp.full((h3, npoint), -3.0e38, jnp.float32)
+            pooled = jnp.full((npoint, h3), -3.0e38, jnp.float32)
             for sl in range(nsample):
                 seg = slice(bb * opc + sl * npoint,
                             bb * opc + (sl + 1) * npoint)
-                pooled = jnp.maximum(pooled, h[:, seg])
+                pooled = jnp.maximum(pooled, h[seg, :])
             pooled_ref[s + bb, :, :] = pooled
 
 
@@ -190,7 +220,9 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
 
     Args:
       pts: (G, N, C) f32, xyz-first channels.
-      w_i: (H_i, Cin_i) pre-transposed layer kernels (any float dtype).
+      w_i: (H_i, Cin_i) pre-transposed layer kernels (any float dtype) —
+        the public contract matches fold_shared_mlp; the kernel consumes
+        them re-transposed to the natural (Cin_i, H_i) layout.
       s_i: (H_i, 2) f32 columns [scale, shift] (eval-BN folded affine).
     Returns:
       pooled: (G, npoint, H3) f32 — post-MLP max-pooled features,
@@ -202,9 +234,10 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
         bo //= 2
     hs = (w1.shape[0], w2.shape[0], w3.shape[0])
     pts_t = jnp.swapaxes(pts, 1, 2).astype(jnp.float32)
-    pts_f = pts.astype(jnp.float32)
-    w1, w2, w3 = (w.astype(jnp.bfloat16) for w in (w1, w2, w3))
-    s1, s2, s3 = (s.astype(jnp.float32) for s in (s1, s2, s3))
+    w1n, w2n, w3n = (jnp.swapaxes(w, 0, 1).astype(jnp.bfloat16)
+                     for w in (w1, w2, w3))
+    s1n, s2n, s3n = (jnp.swapaxes(s, 0, 1).astype(jnp.float32)
+                     for s in (s1, s2, s3))
 
     kernel = functools.partial(
         _kernel, npoint=npoint, nsample=nsample, radius=float(radius),
@@ -218,38 +251,34 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
         in_specs=[
             pl.BlockSpec((bo, C, N), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bo, N, C), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            const(*w1.shape), const(*s1.shape),
-            const(*w2.shape), const(*s2.shape),
-            const(*w3.shape), const(*s3.shape),
+            const(*w1n.shape), const(*s1n.shape),
+            const(*w2n.shape), const(*s2n.shape),
+            const(*w3n.shape), const(*s3n.shape),
         ],
         out_specs=(
-            pl.BlockSpec((bo, hs[2], npoint), lambda g: (g, 0, 0),
+            pl.BlockSpec((bo, npoint, hs[2]), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bo, 8, npoint), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((G, hs[2], npoint), jnp.float32),
+            jax.ShapeDtypeStruct((G, npoint, hs[2]), jnp.float32),
             jax.ShapeDtypeStruct((G, 8, npoint), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((C, bo * npoint * nsample), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bo * npoint * nsample, C), jnp.float32)],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(pts_t, pts_f, w1, s1, w2, s2, w3, s3)
+    )(pts_t, w1n, s1n, w2n, s2n, w3n, s3n)
 
-    return jnp.swapaxes(pooled, 1, 2), jnp.swapaxes(newxyz[:, 0:3, :], 1, 2)
+    return pooled, jnp.swapaxes(newxyz[:, 0:3, :], 1, 2)
 
 
 def fold_shared_mlp(shared_mlp):
     """Extract (wT, [scale; shift]) per layer from a SharedMLP with
     frozen/eval BatchNorm: BN(conv(x)) = conv(x) * a + b with
     a = gamma / sqrt(var + eps), b = beta - mean * a."""
-    import numpy as np
-
     params = []
     for layer in shared_mlp.layers:
         w = layer.conv.kernel[...]  # (din, dout)
