@@ -12,7 +12,10 @@ Replaces the reference's entire torch.distributed/NCCL/Accelerate stack
   * SLURM/accelerate launchers     -> jax.distributed.initialize (multi-host)
 
 The default mesh is 1-D data-parallel over all devices ('dp'); an optional
-'mp' axis shards the big vocab heads (30522-way LM head) when requested.
+'mp' axis (config ``parallel.mp``) shards the big vocab heads (the 30522-way
+LM head, reference modules/heads/pretrain_head.py:35-43) column-wise. This is
+the single mesh-construction code path: ``BaseTrainer`` and the driver's
+``dryrun_multichip`` both call :func:`mesh_from_cfg` + :func:`shard_module`.
 Collectives ride ICI within a slice; DCN across slices is handled by device
 order (jax places same-slice devices adjacent).
 """
@@ -25,19 +28,36 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-_MESH: Optional[Mesh] = None
 
-
-def get_mesh(num_devices: Optional[int] = None, mp: int = 1) -> Mesh:
-    """Build (and cache) the global mesh: ('dp', 'mp')."""
-    global _MESH
+def make_mesh(n_devices: Optional[int] = None, mp: int = 1) -> Mesh:
+    """Build a ('dp', 'mp') mesh over the first ``n_devices`` devices."""
     devices = jax.devices()
-    n = num_devices or len(devices)
-    if _MESH is not None and _MESH.devices.size == n:
-        return _MESH
+    n = n_devices or len(devices)
+    if n % mp != 0:
+        raise ValueError(f"n_devices={n} not divisible by mp={mp}")
     devs = np.asarray(devices[:n]).reshape(n // mp, mp)
-    _MESH = Mesh(devs, ("dp", "mp"))
-    return _MESH
+    return Mesh(devs, ("dp", "mp"))
+
+
+def mesh_from_cfg(cfg) -> Mesh:
+    """Resolve mesh shape from config + available hardware.
+
+    dp is ``min(devices/mp, num_gpu)`` further reduced until it divides the
+    batch size (the reference requires batch % world_size == 0 implicitly via
+    per-rank loaders, reference data/build.py:42-63); mp is the optional
+    ``parallel.mp`` knob (no reference analog — the reference is DP-only,
+    SURVEY §2.9).
+    """
+    mp = int(cfg.select("parallel.mp", 1)) if hasattr(cfg, "select") else 1
+    n_dev = len(jax.devices())
+    if n_dev % mp != 0:
+        raise ValueError(f"{n_dev} devices not divisible by parallel.mp={mp}")
+    avail_dp = n_dev // mp
+    dp = min(avail_dp, int(cfg.get("num_gpu", avail_dp)) or avail_dp)
+    batch = int(cfg.dataloader.batchsize) if cfg.get("dataloader") else dp
+    while dp > 1 and batch % dp != 0:
+        dp -= 1
+    return make_mesh(n_devices=dp * mp, mp=mp)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -52,15 +72,77 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Place a host batch dict onto the mesh, batch-dim sharded.
 
-    Scalars / 0-d entries are replicated. Non-array values pass through
-    (they must not enter jit).
+    Scalars / 0-d entries are replicated, as are arrays whose leading dim
+    doesn't divide dp (end-of-dataloader remainder batches — the analog of
+    the reference's uneven-tail handling in ``gather_for_metrics``,
+    reference common/misc.py:84-132; replication keeps the math exact at a
+    small cost that only the last eval batch pays). Non-array values pass
+    through (they must not enter jit).
     """
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
+    dp = mesh.shape.get("dp", mesh.devices.size)
 
     def place(x):
         if hasattr(x, "ndim"):
-            return jax.device_put(x, bs if x.ndim >= 1 else rep)
+            sharded = x.ndim >= 1 and x.shape[0] % dp == 0
+            return jax.device_put(x, bs if sharded else rep)
         return x
 
     return {k: place(v) for k, v in batch.items()}
+
+
+def _param_spec(dotted: str, leaf, mp: int):
+    """PartitionSpec for one parameter leaf.
+
+    Vocab-sized LM-head weights go column-parallel over 'mp' (output dim is
+    the 30522-way vocab, reference modules/heads/pretrain_head.py:35-43);
+    everything else is replicated. Heads whose vocab doesn't divide mp (the
+    607-way object head) stay replicated.
+    """
+    if mp > 1 and hasattr(leaf, "ndim"):
+        if ("pred_head.decoder.kernel" in dotted and leaf.ndim == 2
+                and leaf.shape[1] % mp == 0):
+            return P(None, "mp")
+        if (dotted.endswith("pred_head.bias.value") and leaf.ndim == 1
+                and leaf.shape[0] % mp == 0):
+            return P("mp")
+    return P()
+
+
+def shard_module(module, mesh: Mesh) -> None:
+    """Place an NNX module's (or optimizer's) state onto the mesh in place.
+
+    Replicates everything except the mp-sharded vocab heads (see
+    :func:`_param_spec`). Used by both the trainer and ``dryrun_multichip``
+    so the dryrun exercises the production sharding code.
+    """
+    from flax import nnx
+
+    mp = mesh.shape.get("mp", 1)
+
+    def place(path, leaf):
+        if not hasattr(leaf, "ndim"):
+            return leaf
+        names = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        spec = _param_spec(".".join(names), leaf, mp)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    state = nnx.state(module)
+    state = jax.tree_util.tree_map_with_path(place, state)
+    nnx.update(module, state)
+
+
+# Backwards-compatible cached accessor (pre-round-2 API).
+_MESH: Optional[Mesh] = None
+
+
+def get_mesh(num_devices: Optional[int] = None, mp: int = 1) -> Mesh:
+    """Build (and cache) the global mesh: ('dp', 'mp')."""
+    global _MESH
+    n = num_devices or len(jax.devices())
+    if _MESH is not None and _MESH.devices.size == n and \
+            _MESH.shape.get("mp", 1) == mp:
+        return _MESH
+    _MESH = make_mesh(n, mp=mp)
+    return _MESH

@@ -1,0 +1,165 @@
+"""dp>1 / mp>1 correctness on the 8-virtual-device CPU mesh (conftest).
+
+Proves the distributed story end to end (VERDICT round-1 items 1-2):
+
+* the GPS train step under a dp=4 batch-sharded mesh produces the SAME loss
+  and post-step parameters as the dp=1 run — i.e. the global-batch
+  contrastive math (sceneverse_tpu/optim/loss/contra_loss.py) under GSPMD
+  equals the reference's cross-rank all_gather InfoNCE
+  (reference optim/loss/contra_loss.py:42-71,61-64);
+* the (dp=2, mp=2) mesh with the vocab-sharded LM head matches too;
+* evaluator (value,count) reduction is sharding-invariant;
+* the real trainer runs a full epoch at num_gpu=4 (sharded loaders' batches
+  flow through shard_batch, reference trainer DDP analog trainer/build.py:66-75).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+import sceneverse_tpu.evaluator  # noqa: F401
+import sceneverse_tpu.model  # noqa: F401
+import sceneverse_tpu.trainer  # noqa: F401
+from __graft_entry__ import _gps_batch, _gps_cfg
+from sceneverse_tpu.config import Config
+from sceneverse_tpu.evaluator.build import EVALUATOR_REGISTRY
+from sceneverse_tpu.model import build_model
+from sceneverse_tpu.optim.build import build_optim
+from sceneverse_tpu.parallel.mesh import (
+    mesh_from_cfg,
+    shard_batch,
+    shard_module,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices (conftest)"
+)
+
+B = 8
+
+
+def _small_cfg(dp, mp=1):
+    cfg = _gps_cfg(hidden=96, layers=2, vocab=1024)
+    for tower in ("language", "vision", "grounding"):
+        cfg.model[tower].args.num_attention_heads = 4
+    cfg.model.vision.args.dim_feedforward = 128
+    cfg.model.grounding.args.dim_feedforward = 128
+    cfg.num_gpu = dp
+    cfg.parallel = {"mp": mp}
+    cfg.dataloader = {"batchsize": B}
+    return cfg
+
+
+def _run_train_step(dp, mp=1):
+    """One fused GPS train step on a (dp, mp) mesh; returns (loss, params)."""
+    cfg = _small_cfg(dp, mp)
+    mesh = mesh_from_cfg(cfg)
+    assert mesh.shape == {"dp": dp, "mp": mp}
+
+    model = build_model(cfg, rngs=nnx.Rngs(0))
+    model.train()
+    loss_mod, tx, _, _ = build_optim(cfg, model, total_steps=100)
+    optimizer = nnx.Optimizer(model, tx, wrt=nnx.Param)
+    shard_module(model, mesh)
+    shard_module(optimizer, mesh)
+
+    batch = _gps_batch(B, num_obj=8, num_points=128, seq_len=16, vocab=1024,
+                       cap_len=16)
+    batch = shard_batch(batch, mesh)
+
+    @nnx.jit
+    def train_step(model, optimizer, batch):
+        def loss_fn(model):
+            out = model(batch)
+            total, losses = loss_mod(out)
+            return total, losses
+
+        (total, _), grads = nnx.value_and_grad(loss_fn, has_aux=True)(model)
+        optimizer.update(model, grads)
+        return total
+
+    with mesh:
+        total = train_step(model, optimizer, batch)
+        jax.block_until_ready(total)
+    params = jax.tree.map(
+        np.asarray, nnx.to_pure_dict(nnx.state(model, nnx.Param))
+    )
+    return float(total), params
+
+
+def _assert_tree_close(a, b, atol):
+    fa, _ = jax.tree.flatten(a)
+    fb, _ = jax.tree.flatten(b)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        np.testing.assert_allclose(x, y, atol=atol, rtol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def dp1_result():
+    return _run_train_step(dp=1)
+
+
+def test_train_step_dp4_matches_dp1(dp1_result):
+    """Batch-sharded dp=4 == single-device math (proves in-graph collectives
+    the shardings induce — contrastive all-gather + grad reductions)."""
+    loss1, params1 = dp1_result
+    loss4, params4 = _run_train_step(dp=4)
+    assert loss4 == pytest.approx(loss1, abs=1e-4)
+    _assert_tree_close(params1, params4, atol=5e-5)
+
+
+def test_train_step_dp2_mp2_matches_dp1(dp1_result):
+    """(dp=2, mp=2) with the LM-head vocab dim sharded over mp — same math."""
+    loss1, params1 = dp1_result
+    loss22, params22 = _run_train_step(dp=2, mp=2)
+    assert loss22 == pytest.approx(loss1, abs=1e-4)
+    _assert_tree_close(params1, params22, atol=5e-5)
+
+
+def test_evaluator_reduction_sharding_invariant():
+    """(value,count) protocol under a dp=4-sharded eval batch == host arrays
+    (reference gather_dict analog, evaluator/build.py:33-41)."""
+    cfg = Config({"eval": {"name": "ScanReferEval", "save": False},
+                  "exp_dir": "", "num_gpu": 4,
+                  "dataloader": {"batchsize": B}})
+    rng = np.random.RandomState(0)
+    d_host = {
+        "og3d_logits": jnp.asarray(rng.randn(B, 6).astype(np.float32)),
+        "tgt_object_id": jnp.asarray(rng.randint(0, 6, (B, 1))),
+        "tgt_object_id_iou25": jnp.asarray(rng.rand(B, 6) < 0.4),
+        "tgt_object_id_iou50": jnp.asarray(rng.rand(B, 6) < 0.2),
+        "is_multiple": jnp.asarray(rng.randint(0, 2, (B,))),
+        "obj_labels": jnp.zeros((B, 6), jnp.int32),
+        "obj_cls_raw_logits": jnp.asarray(rng.randn(B, 6, 7).astype(np.float32)),
+    }
+    mesh = mesh_from_cfg(cfg)
+    d_sharded = shard_batch(dict(d_host), mesh)
+
+    results = []
+    for d in (d_host, d_sharded):
+        ev = EVALUATOR_REGISTRY.get("ScanReferEval")(cfg)
+        ev.update(d)
+        _, out = ev.record()
+        results.append(out)
+    for k, v in results[0].items():
+        assert results[1][k] == pytest.approx(v, abs=1e-6), k
+
+
+def test_trainer_e2e_dp4(tmp_path):
+    """Full OpenVocabTrainer epoch at num_gpu=4: loader batches flow through
+    shard_batch onto the dp mesh; params are mesh-placed by shard_module."""
+    from test_gps_e2e import gps_cfg
+    from sceneverse_tpu.data.fixture import write_synthetic_tree
+    from sceneverse_tpu.trainer import build_trainer
+
+    data_root = write_synthetic_tree(tmp_path / "sv", n_scans=3)
+    cfg = gps_cfg(data_root, tmp_path)
+    cfg.num_gpu = 4
+    trainer = build_trainer(cfg)
+    assert trainer.mesh.shape["dp"] == 4
+    results = trainer.run()
+    assert "og_acc_iou25" in results
+    assert np.isfinite(results["target_metric"])
