@@ -23,7 +23,9 @@ def get_activation_fn(activation_type: str):
     if activation_type == "relu":
         return jax.nn.relu
     if activation_type == "gelu":
-        return jax.nn.gelu
+        # reference modules/utils.py:15 resolves to torch F.gelu, which is
+        # the EXACT erf GELU (jax.nn.gelu defaults to the tanh approximation)
+        return lambda x: jax.nn.gelu(x, approximate=False)
     return jax.nn.glu
 
 
