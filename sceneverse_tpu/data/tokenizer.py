@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import unicodedata
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -29,24 +30,98 @@ SEP_ID = 102
 MASK_ID = 103
 BERT_VOCAB_SIZE = 30522
 
+SPECIAL_TOKENS = ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
 
-def _basic_tokenize(text: str) -> List[str]:
-    """Lowercase + punctuation-splitting basic tokenizer (BERT-style)."""
-    text = text.lower()
+# --- HF BasicTokenizer character classes (tokenization_bert.py semantics) ---
+
+
+def _is_whitespace(ch: str) -> bool:
+    if ch in " \t\n\r":
+        return True
+    return unicodedata.category(ch) == "Zs"
+
+
+def _is_control(ch: str) -> bool:
+    if ch in "\t\n\r":
+        return False
+    return unicodedata.category(ch).startswith("C")
+
+
+def _is_punctuation(ch: str) -> bool:
+    cp = ord(ch)
+    # ASCII non-alnum ranges are punctuation even when unicode says otherwise
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def _is_chinese_char(cp: int) -> bool:
+    return (
+        0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F
+    )
+
+
+def _clean_text(text: str) -> str:
     out = []
-    word = []
     for ch in text:
-        if ch.isalnum() or ch == "'":
-            word.append(ch)
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD or _is_control(ch):
+            continue
+        out.append(" " if _is_whitespace(ch) else ch)
+    return "".join(out)
+
+
+def _strip_accents(token: str) -> str:
+    return "".join(
+        c for c in unicodedata.normalize("NFD", token)
+        if unicodedata.category(c) != "Mn"
+    )
+
+
+def _split_on_punc(token: str, never_split) -> List[str]:
+    if token in never_split:
+        return [token]
+    chars = list(token)
+    out: List[List[str]] = []
+    start_new = True
+    for ch in chars:
+        if _is_punctuation(ch):
+            out.append([ch])
+            start_new = True
         else:
-            if word:
-                out.append("".join(word))
-                word = []
-            if not ch.isspace():
-                out.append(ch)
-    if word:
-        out.append("".join(word))
-    return out
+            if start_new:
+                out.append([])
+            start_new = False
+            out[-1].append(ch)
+    return ["".join(x) for x in out]
+
+
+def _basic_tokenize(text: str, never_split=frozenset(SPECIAL_TOKENS),
+                    do_lower_case: bool = True) -> List[str]:
+    """HF ``BasicTokenizer`` parity (bert-base-uncased defaults:
+    do_lower_case=True, tokenize_chinese_chars=True, strip_accents=None):
+    control-char cleanup, CJK-char isolation, NFC normalization,
+    lowercase + accent stripping, punctuation splitting, never-split
+    special tokens (reference tokenizes via HF BertTokenizer,
+    reference modules/language/bert.py:12-14)."""
+    text = _clean_text(text)
+    spaced = []
+    for ch in text:
+        if _is_chinese_char(ord(ch)):
+            spaced.extend((" ", ch, " "))
+        else:
+            spaced.append(ch)
+    text = unicodedata.normalize("NFC", "".join(spaced))
+    split_tokens: List[str] = []
+    for token in text.split():
+        if token not in never_split:
+            if do_lower_case:
+                token = _strip_accents(token.lower())
+        split_tokens.extend(_split_on_punc(token, never_split))
+    return " ".join(split_tokens).split()
 
 
 class WordPieceTokenizer:
@@ -77,6 +152,8 @@ class WordPieceTokenizer:
             # deterministic hash id in the wordpiece range [1000, vocab)
             h = int(hashlib.md5(word.encode()).hexdigest(), 16)
             return [1000 + h % (self.vocab_size - 1000)]
+        if len(word) > 100:  # HF WordpieceTokenizer max_input_chars_per_word
+            return [self.unk_token_id]
         ids = []
         start = 0
         while start < len(word):
@@ -97,9 +174,17 @@ class WordPieceTokenizer:
         return ids
 
     def tokenize_to_ids(self, text: str) -> List[int]:
+        special = {
+            "[PAD]": self.pad_token_id, "[UNK]": self.unk_token_id,
+            "[CLS]": self.cls_token_id, "[SEP]": self.sep_token_id,
+            "[MASK]": self.mask_token_id,
+        }
         ids = []
         for word in _basic_tokenize(text):
-            ids.extend(self._wordpiece(word))
+            if word in special:
+                ids.append(special[word])
+            else:
+                ids.extend(self._wordpiece(word))
         return ids
 
     def encode(self, text: str, max_length: int) -> Tuple[np.ndarray, np.ndarray]:
