@@ -104,9 +104,22 @@ def build_dataloader(cfg, split="train"):
     single-element eval lists are returned as the loader itself for
     trainer-loop simplicity (matches reference behavior via
     accelerator.prepare unpacking)."""
+    import jax
+
     dataset = get_dataset(cfg, split)
     if split == "train":
         return _make_loader(dataset, cfg, shuffle=True, drop_last=True)
+    if jax.process_count() > 1:
+        # multi-host eval: uneven per-process shards, each sample exactly
+        # once; the (value,count) reduction replaces the reference's
+        # gather_for_metrics truncation (common/misc.py:84-132) — see
+        # data/sharding.py
+        from sceneverse_tpu.data.sharding import ShardedDataset
+
+        dataset = [
+            ShardedDataset(ds, jax.process_count(), jax.process_index())
+            for ds in dataset
+        ]
     loaders = [
         _make_loader(ds, cfg, shuffle=False, drop_last=False) for ds in dataset
     ]

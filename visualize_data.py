@@ -36,9 +36,17 @@ def load_scan(root, scan_id):
 
 
 def instance_colors(instance):
-    rng = np.random.RandomState(0)
+    """Deterministic per-instance colors from the ScanNet-200 palette
+    (SCANNET_COLOR_MAP_200, reference data/datasets/constant.py:408-610);
+    unassigned points (-1) render gray."""
+    from sceneverse_tpu.data.datasets.constant import SCANNET_COLOR_MAP_200
+
+    table = np.asarray(
+        [v for k, v in sorted(SCANNET_COLOR_MAP_200.items()) if k > 0],
+        np.float64,
+    )
     ids = np.unique(instance)
-    palette = {i: rng.rand(3) * 255 for i in ids}
+    palette = {i: table[i % len(table)] for i in ids}
     palette[-1] = np.array([128.0, 128.0, 128.0])
     return np.stack([palette[i] for i in instance])
 
