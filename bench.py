@@ -28,7 +28,7 @@ os.environ.setdefault("SCENEVERSE_PALLAS_FAST", "1")
 
 A100_SCENES_PER_SEC = 128.0  # estimated reference throughput per A100 at batch 64
 
-BATCH = 64
+BATCH = int(os.environ.get("SCENEVERSE_BENCH_BATCH", 64))
 NUM_OBJ = 80
 NUM_POINTS = 1024
 SEQ_LEN = 50

@@ -31,8 +31,15 @@ def parse_args(argv=None):
                         help="coordinator_address host:port for spmd mode")
     parser.add_argument("--num-processes", default=None, type=int)
     parser.add_argument("--process-id", default=None, type=int)
+    parser.add_argument("--mixed_precision", default=None,
+                        choices=["no", "fp16", "bf16"],
+                        help="reference launch.py:51-52; fp16 maps to bf16 "
+                             "(TPU-native 16-bit type)")
     parser.add_argument("opts", nargs="*", help="config overrides key=val")
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    if args.mixed_precision:
+        args.opts = [*args.opts, f"mixed_precision={args.mixed_precision}"]
+    return args
 
 
 def _run(config: str, opts):

@@ -19,8 +19,13 @@ CATEGORIES = ["wall", "floor", "ceiling", "chair", "table", "sofa", "bed",
 
 
 def write_synthetic_tree(root, n_scans=3, n_objects=6, pts_per_obj=80,
-                         seed=0, prefix="scene"):
-    """Create a SceneVerse-format data tree under ``root``. Returns root."""
+                         seed=0, prefix="scene", annos_per_obj=1):
+    """Create a SceneVerse-format data tree under ``root``. Returns root.
+
+    ``annos_per_obj`` > 1 writes multiple referring annotations per object
+    (real ScanRefer averages ~36 captions/scene) — used by the input-pipeline
+    benchmark to get a GPS-scale item count from a few scans.
+    """
     import torch
 
     root = Path(root)
@@ -69,15 +74,18 @@ def write_synthetic_tree(root, n_scans=3, n_objects=6, pts_per_obj=80,
             cat = inst_to_label[obj_i]
             if cat in ("wall", "floor", "ceiling"):
                 continue
-            annos.append({
-                "item_id": f"item{item}",
-                "scan_id": scan_id,
-                "target_id": obj_i,
-                "instance_type": cat,
-                "utterance": f"the {cat} near the wall on the left",
-                "tokens": f"the {cat} near the wall on the left".split(),
-            })
-            item += 1
+            for k in range(annos_per_obj):
+                utt = f"the {cat} near the wall on the left" if k == 0 else \
+                    f"find the {cat} number {k} beside the big window"
+                annos.append({
+                    "item_id": f"item{item}",
+                    "scan_id": scan_id,
+                    "target_id": obj_i,
+                    "instance_type": cat,
+                    "utterance": utt,
+                    "tokens": utt.split(),
+                })
+                item += 1
 
     with open(root / "annotations/anno.json", "w") as f:
         json.dump(annos, f)

@@ -27,6 +27,24 @@ from sceneverse_tpu.registry import Registry
 EVALUATOR_REGISTRY = Registry("EVALUATOR")
 
 
+def ratio_metrics(metrics: dict, floor: float = 1.0) -> dict:
+    """value/count ratios, kept as DEVICE scalars when inputs are device
+    arrays (no host sync — the train loop fetches in batches via
+    ``BaseTrainer.flush_train_logs``; the reference's ``.item()`` per metric
+    per step is a GPU pattern that would stall the TPU pipeline)."""
+    import jax.numpy as jnp
+
+    out = {}
+    for k, (v, c) in metrics.items():
+        if hasattr(v, "ndim") or hasattr(c, "ndim"):
+            out[k] = jnp.asarray(v, jnp.float32) / jnp.maximum(
+                jnp.asarray(c, jnp.float32), floor
+            )
+        else:
+            out[k] = float(v) / max(float(c), floor)
+    return out
+
+
 def _sum_across_processes(values: np.ndarray) -> np.ndarray:
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
@@ -40,6 +58,9 @@ class BaseEvaluator:
     (reference evaluator/build.py:11-54)."""
 
     target_metric: str = "target_metric"
+    # True when batch_metrics is pure array math (jit-safe): the trainer jits
+    # it into ONE dispatch per train step (BaseTrainer._metrics_fn)
+    JIT_METRICS = False
 
     def __init__(self, cfg, accelerator=None, **kwargs):
         self.cfg = cfg
@@ -64,9 +85,11 @@ class BaseEvaluator:
     def update(self, data_dict):
         metrics = self.batch_metrics(data_dict, include_count=True)
         for key, (value, count) in metrics.items():
+            # device scalars accumulate on device (no per-batch host sync);
+            # record() fetches once at the end of the eval loop
             acc = self.eval_dict.setdefault(key, [0.0, 0.0])
-            acc[0] += float(value)
-            acc[1] += float(count)
+            acc[0] = acc[0] + value
+            acc[1] = acc[1] + count
 
     def record(self):
         out = {}

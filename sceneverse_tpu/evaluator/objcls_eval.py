@@ -9,11 +9,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from sceneverse_tpu.evaluator.build import EVALUATOR_REGISTRY, BaseEvaluator
+from sceneverse_tpu.evaluator.build import EVALUATOR_REGISTRY, BaseEvaluator, ratio_metrics
 
 
 @EVALUATOR_REGISTRY.register()
 class PretrainObjEval(BaseEvaluator):
+
+    JIT_METRICS = True
     target_metric = "accuracy"
 
     def batch_metrics(self, data_dict, include_count=False):
@@ -23,5 +25,5 @@ class PretrainObjEval(BaseEvaluator):
         count = jnp.sum(mask)
         metrics = {"accuracy": (correct, count)}
         if not include_count:
-            return {k: float(v) / max(float(c), 1) for k, (v, c) in metrics.items()}
+            return ratio_metrics(metrics)
         return metrics

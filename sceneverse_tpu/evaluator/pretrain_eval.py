@@ -20,6 +20,8 @@ def _masked_acc(logits, labels, mask):
 class PretrainEval(BaseEvaluator):
     """Batch-size-weighted mean accuracies (reference update/record:68-90)."""
 
+    JIT_METRICS = True
+
     target_metric = "target_metric"
 
     def batch_metrics(self, data_dict, include_count=False):
@@ -58,7 +60,8 @@ class PretrainEval(BaseEvaluator):
         batch = data_dict["txt_lm_cls_logits"].shape[0]
         if include_count:
             return {k: (v * batch, batch) for k, v in metrics.items()}
-        return {k: float(v) for k, v in metrics.items()}
+        # per-batch means; kept as device scalars (trainer fetches in batches)
+        return dict(metrics)
 
     def record(self):
         # reference :83-90: weighted average; best on target_metric; no gather

@@ -6,12 +6,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from sceneverse_tpu.evaluator.build import EVALUATOR_REGISTRY, BaseEvaluator
+from sceneverse_tpu.evaluator.build import EVALUATOR_REGISTRY, BaseEvaluator, ratio_metrics
 from sceneverse_tpu.evaluator.common import obj_cls_accs
 
 
 @EVALUATOR_REGISTRY.register()
 class ReferIt3DEval(BaseEvaluator):
+
+    JIT_METRICS = True
     target_metric = "og_acc"
 
     def batch_metrics(self, data_dict, include_count=False):
@@ -58,5 +60,5 @@ class ReferIt3DEval(BaseEvaluator):
                 })
 
         if not include_count:
-            return {k: float(v) / max(float(c), 1) for k, (v, c) in metrics.items()}
+            return ratio_metrics(metrics)
         return metrics

@@ -11,12 +11,14 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from sceneverse_tpu.evaluator.build import EVALUATOR_REGISTRY, BaseEvaluator
+from sceneverse_tpu.evaluator.build import EVALUATOR_REGISTRY, BaseEvaluator, ratio_metrics
 from sceneverse_tpu.evaluator.common import obj_cls_accs
 
 
 @EVALUATOR_REGISTRY.register()
 class ScanQAEval(BaseEvaluator):
+
+    JIT_METRICS = True
     target_metric = "ans1_acc"
 
     def __init__(self, cfg, accelerator=None, **kwargs):
@@ -70,13 +72,15 @@ class ScanQAEval(BaseEvaluator):
                 })
 
         if not include_count:
-            return {k: float(v) / max(float(c), 1) for k, (v, c) in metrics.items()}
+            return ratio_metrics(metrics)
         return metrics
 
 
 @EVALUATOR_REGISTRY.register()
 class ScanQAGenEval(ScanQAEval):
     """Free-form generation variant (reference :84-101)."""
+
+    JIT_METRICS = False  # string answers — host-side math
 
     def batch_metrics(self, data_dict, include_count=False):
         from sceneverse_tpu.data.data_utils import clean_answer

@@ -7,12 +7,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from sceneverse_tpu.evaluator.build import EVALUATOR_REGISTRY, BaseEvaluator
+from sceneverse_tpu.evaluator.build import EVALUATOR_REGISTRY, BaseEvaluator, ratio_metrics
 from sceneverse_tpu.evaluator.common import obj_cls_accs
 
 
 @EVALUATOR_REGISTRY.register()
 class ScanReferEval(BaseEvaluator):
+
+    JIT_METRICS = True
     target_metric = "og_acc_iou25"
 
     def batch_metrics(self, data_dict, include_count=False):
@@ -64,5 +66,5 @@ class ScanReferEval(BaseEvaluator):
                 })
 
         if not include_count:
-            return {k: float(v) / max(float(c), 1) for k, (v, c) in metrics.items()}
+            return ratio_metrics(metrics)
         return metrics

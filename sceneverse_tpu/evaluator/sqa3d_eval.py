@@ -17,7 +17,7 @@ import os
 import jax.lax as lax
 import jax.numpy as jnp
 
-from sceneverse_tpu.evaluator.build import EVALUATOR_REGISTRY, BaseEvaluator
+from sceneverse_tpu.evaluator.build import EVALUATOR_REGISTRY, BaseEvaluator, ratio_metrics
 from sceneverse_tpu.evaluator.common import obj_cls_accs
 
 NUM_SQA_TYPES = 6  # 0: what, 1: is, 2: how, 3: can, 4: which, 5: others
@@ -25,6 +25,8 @@ NUM_SQA_TYPES = 6  # 0: what, 1: is, 2: how, 3: can, 4: which, 5: others
 
 @EVALUATOR_REGISTRY.register()
 class SQA3DEval(BaseEvaluator):
+
+    JIT_METRICS = True
     target_metric = "ans1_acc"
 
     def __init__(self, cfg, accelerator=None, **kwargs):
@@ -60,5 +62,5 @@ class SQA3DEval(BaseEvaluator):
         metrics.update(obj_cls_accs(data_dict))
 
         if not include_count:
-            return {k: float(v) / max(float(c), 1e-10) for k, (v, c) in metrics.items()}
+            return ratio_metrics(metrics, floor=1e-10)
         return metrics

@@ -93,12 +93,30 @@ class OpenVocab(_OpenVocabBase):
 
     def __call__(self, data_dict: dict) -> dict:
         out = dict(data_dict)
-        lang_feats = self.lang_encoder(data_dict["txt_ids"], data_dict["txt_masks"])
         if self.use_scene_cap and "scene_txt_ids" in data_dict:
-            scene_lang = self.lang_encoder(
-                data_dict["scene_txt_ids"], data_dict["scene_txt_masks"]
+            # run utterances + scene captions through the text tower as ONE
+            # batched call (pad to the longer length, concat on batch): the
+            # tiny-sequence BERT is dispatch/latency-bound on TPU, and padded
+            # positions are exactly masked out so per-position outputs are
+            # unchanged (reference runs two separate BertModel calls,
+            # model/openvocab.py:49-55 — same math, half the launches)
+            txt_ids, txt_masks = data_dict["txt_ids"], data_dict["txt_masks"]
+            sc_ids, sc_masks = data_dict["scene_txt_ids"], data_dict["scene_txt_masks"]
+            B, L = txt_ids.shape
+            M = max(L, sc_ids.shape[1])
+
+            def pad(x, mode_val=0):
+                return jnp.pad(x, ((0, 0), (0, M - x.shape[1])),
+                               constant_values=mode_val)
+
+            feats = self.lang_encoder(
+                jnp.concatenate([pad(txt_ids), pad(sc_ids)], axis=0),
+                jnp.concatenate([pad(txt_masks), pad(sc_masks)], axis=0),
             )
-            out["scene_text_embed"] = scene_lang[:, 0]
+            lang_feats = feats[:B, :L]
+            out["scene_text_embed"] = feats[B:, 0]
+        else:
+            lang_feats = self.lang_encoder(data_dict["txt_ids"], data_dict["txt_masks"])
 
         point_feats, point_pre, obj_cls_raw_logits = self.point_encoder(
             data_dict["obj_fts"].astype(jnp.float32),

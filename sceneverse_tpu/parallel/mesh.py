@@ -84,6 +84,8 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     dp = mesh.shape.get("dp", mesh.devices.size)
 
     def place(x):
+        if isinstance(x, jax.Array) and x.committed:
+            return x  # already device-resident (e.g. a cached bench batch)
         if hasattr(x, "ndim"):
             sharded = x.ndim >= 1 and x.shape[0] % dp == 0
             return jax.device_put(x, bs if sharded else rep)

@@ -87,6 +87,17 @@ class BaseTrainer:
         self.rngs = nnx.Rngs(int(cfg.get("rng_seed", 42)))
         self.model = build_model(cfg, rngs=self.rngs)
 
+        # mixed precision (reference launch.py:51-52 --mixed_precision flag,
+        # threaded through accelerate; here a config key). fp16 maps to bf16:
+        # the TPU's native 16-bit matmul type, same dynamic range as f32 so no
+        # loss scaling is needed.
+        amp = str(cfg.get("mixed_precision", "no")).lower()
+        if amp in ("bf16", "bfloat16", "fp16", "16"):
+            from sceneverse_tpu.utils.precision import enable_mixed_precision
+
+            n_amp = enable_mixed_precision(self.model)
+            print(f"mixed_precision={amp}: {n_amp} matmul layers -> bfloat16")
+
         accum = int(cfg.solver.get("gradient_accumulation_steps", 1))
         if self.mode == "test":
             total_steps = 1
@@ -124,14 +135,31 @@ class BaseTrainer:
             self.resume()
 
         self._compiled_train_step = None
+        self._train_step_metrics = None
         self._compiled_forward = None
+        self._graphdef = None
+        self._train_state = None
 
     # ------------------------------------------------------------- jit steps
-    def _build_train_step(self):
-        loss_mod = self.loss
+    #
+    # The train step is FUNCTIONAL: (model, optimizer) are split once into
+    # (graphdef, state) and the jitted step maps state -> state. Passing live
+    # NNX modules through nnx.jit costs a full Python graph traversal of the
+    # ~500-array module tree per call (~170 ms at GPS scale — measured via
+    # bench_pipeline.py: 230 vs 611 scenes/s); split/merge moves that cost to
+    # trace time. The input state buffer is donated so parameters/optimizer
+    # state are updated in place in HBM (no double buffering).
+    def _build_train_step(self, metrics_fn=None):
+        from functools import partial
 
-        @nnx.jit
-        def train_step(model, optimizer, batch):
+        loss_mod = self.loss
+        self.model.train()
+        self._graphdef, self._train_state = nnx.split((self.model, self.optimizer))
+
+        @partial(jax.jit, donate_argnums=0)
+        def train_step(state, batch):
+            model, optimizer = nnx.merge(self._graphdef, state)
+
             def loss_fn(model):
                 out = model(batch)
                 total, losses = loss_mod(out)
@@ -141,7 +169,13 @@ class BaseTrainer:
                 loss_fn, has_aux=True
             )(model)
             optimizer.update(model, grads)
-            return out, losses
+            _, new_state = nnx.split((model, optimizer))
+            if metrics_fn is None:
+                return out, losses, new_state
+            # train metrics fused into the SAME XLA program: only scalars
+            # leave the step — the (B, L, vocab) logits never become a
+            # program output (no HBM materialization, one dispatch per step)
+            return metrics_fn({**batch, **out}), losses, new_state
 
         return train_step
 
@@ -153,16 +187,53 @@ class BaseTrainer:
         return forward
 
     def forward(self, data_dict):
+        self._materialize()
         if self._compiled_forward is None:
             self._compiled_forward = self._build_forward()
         return self._compiled_forward(self.model, self._device_batch(data_dict))
 
-    def train_forward_backward(self, data_dict):
-        """One fused forward+loss+grad+update step (single XLA program)."""
-        if self._compiled_train_step is None:
-            self._compiled_train_step = self._build_train_step()
+    def train_forward_backward(self, data_dict, metrics_fn=None):
+        """One fused forward+loss+grad+update step (single XLA program).
+
+        With ``metrics_fn`` (a jit-safe ``batch_metrics``), the per-step train
+        metrics run inside the same program and the first return value is the
+        metrics dict instead of the model outputs.
+        """
+        if (self._compiled_train_step is None
+                or self._train_step_metrics is not metrics_fn):
+            self._compiled_train_step = self._build_train_step(metrics_fn)
+            self._train_step_metrics = metrics_fn
+        if self._train_state is None:  # re-split after an eval/save round trip
+            self.model.train()
+            _, self._train_state = nnx.split((self.model, self.optimizer))
         batch = self._device_batch(data_dict)
-        return self._compiled_train_step(self.model, self.optimizer, batch)
+        out, losses, self._train_state = self._compiled_train_step(
+            self._train_state, batch
+        )
+        return out, losses
+
+    def _materialize(self):
+        """Write the functional train state back into the live NNX objects
+        (before eval forward / checkpointing / any nnx.state read)."""
+        if self._train_state is not None:
+            nnx.update((self.model, self.optimizer), self._train_state)
+            self._train_state = None
+
+    def _fusable_metrics(self, evaluator):
+        """The evaluator's batch_metrics as a stable-identity callable when it
+        is pure array math (JIT_METRICS and no host-side result dump) — fused
+        into the jitted train step. None otherwise (eager fallback)."""
+        if getattr(evaluator, "save", False) or not getattr(
+            evaluator, "JIT_METRICS", False
+        ):
+            return None
+        # memoize the bound method: a fresh object per attribute access would
+        # defeat the identity check in train_forward_backward (recompiles)
+        fn = evaluator.__dict__.get("_bound_batch_metrics")
+        if fn is None:
+            fn = evaluator.batch_metrics
+            evaluator.__dict__["_bound_batch_metrics"] = fn
+        return fn
 
     def _device_batch(self, data_dict):
         arrays = {
@@ -172,9 +243,10 @@ class BaseTrainer:
         return shard_batch(arrays, self.mesh)
 
     # ---------------------------------------------------------------- logging
-    def log(self, results, mode="train"):
+    def log(self, results, mode="train", step=None):
         if self.hard_debug:
             return
+        step = self.global_step if step is None else step
         log_dict = {}
         for key, val in results.items():
             try:
@@ -182,10 +254,37 @@ class BaseTrainer:
             except (TypeError, ValueError):
                 continue
         if mode == "train":
-            ratio = float(self.schedule(self.global_step))
+            ratio = float(self.schedule(step))
             for i, (label, base_lr) in enumerate(self.group_info):
                 log_dict[f"{mode}/lr/group_{i}"] = base_lr * ratio
-        self.logger.log(log_dict, step=self.global_step)
+        self.logger.log(log_dict, step=step)
+
+    def flush_train_logs(self, pending):
+        """Fetch a buffer of (step, device-scalar dict) entries in ONE host
+        transfer and write each as its own log row.
+
+        The reference logs per step through ``accelerator.log`` where the
+        GPU->CPU copy is async and cheap (reference default_trainer.py:36-44);
+        on TPU every host fetch is a full pipeline sync (and costs a ~28 ms
+        round trip through a remote-execution proxy), so the trainer keeps
+        the per-step values as device scalars and drains them every
+        ``solver.log_every`` steps. Log content is identical, just written in
+        batches.
+        """
+        if not pending:
+            return
+        import jax.numpy as jnp
+
+        # pack all scalars into ONE (steps, keys) device array -> ONE transfer
+        # (device_get of N tiny arrays costs N round trips on remote runtimes)
+        keys = list(pending[0][1].keys())
+        stacked = jnp.asarray(
+            [[jnp.asarray(vals.get(k, jnp.nan), jnp.float32) for k in keys]
+             for _, vals in pending]
+        )
+        host = np.asarray(stacked)
+        for (step, _), row in zip(pending, host):
+            self.log(dict(zip(keys, row)), mode="train", step=step)
 
     # ----------------------------------------------------------- checkpointing
     def _ckpt_state(self):
@@ -199,6 +298,8 @@ class BaseTrainer:
     def save(self, name: str):
         from sceneverse_tpu.ckpt.checkpoint import save_checkpoint
 
+        self._materialize()
+
         # orbax coordinates multi-host saving itself; every process calls in
         save_checkpoint(self.ckpt_path / name, self._ckpt_state())
 
@@ -210,6 +311,7 @@ class BaseTrainer:
             target = self.ckpt_path
         if target.exists():
             state = load_checkpoint(target, self._ckpt_state())
+            self._train_state = None  # invalidate functional snapshot
             nnx.update(self.model, state["model"])
             nnx.update(self.optimizer, state["opt"])
             self.exp_tracker.load_state_dict(state["tracker"])
@@ -223,6 +325,7 @@ class BaseTrainer:
         native checkpoint (reference trainer/build.py:174-184)."""
         from sceneverse_tpu.ckpt.convert import load_torch_pretrain
 
+        self._train_state = None  # invalidate functional snapshot
         n = load_torch_pretrain(self.model, self.pretrain_ckpt_path)
         print(f"Loaded {n} tensors from {self.pretrain_ckpt_path}")
 

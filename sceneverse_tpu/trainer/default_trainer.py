@@ -30,22 +30,36 @@ class DefaultTrainer(BaseTrainer):
         evaluator = self._train_evaluator()
         profiling = self.profile_enabled and epoch == 0
         exp_dir = self.cfg.get("exp_dir") or "."
+        # losses/metrics stay as device scalars; one host fetch per
+        # `log_every` steps keeps the hot loop free of pipeline syncs
+        # (see BaseTrainer.flush_train_logs)
+        log_every = max(1, int(self.cfg.solver.get("log_every", 10)))
+        pending = []
+        fused_metrics = self._fusable_metrics(evaluator)
         with trace(f"{exp_dir}/profile", enabled=profiling and n > 0):
             for i, data_dict in enumerate(loader):
                 # mixup-style schedules read cur_step/total_steps
                 # (reference default_trainer.py:32-33)
                 data_dict["cur_step"] = epoch * n + i
                 data_dict["total_steps"] = self.total_steps
-                out, losses = self.train_forward_backward(data_dict)
-                metrics = evaluator.batch_metrics({**data_dict, **jax_to_host(out)})
+                if fused_metrics is not None:
+                    metrics, losses = self.train_forward_backward(
+                        data_dict, metrics_fn=fused_metrics
+                    )
+                else:
+                    out, losses = self.train_forward_backward(data_dict)
+                    metrics = evaluator.batch_metrics(
+                        {**data_dict, **jax_to_host(out)}
+                    )
                 self.global_step += 1
-                log_dict = {"step": self.global_step}
-                log_dict.update(losses)
-                log_dict.update(metrics)
-                self.log(log_dict, mode="train")
+                pending.append((self.global_step, {**losses, **metrics}))
+                if len(pending) >= log_every:
+                    self.flush_train_logs(pending)
+                    pending = []
                 pbar.update(1)
                 if profiling and i + 1 >= self.profile_steps:
                     break
+        self.flush_train_logs(pending)
         pbar.close()
 
     def _eval_loop(self, split, mode):

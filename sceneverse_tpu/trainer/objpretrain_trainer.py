@@ -18,13 +18,22 @@ class ObjPretrainTrainer(DefaultTrainer):
         pbar = tqdm(range(len(loader)), desc=f"[Epoch {epoch + 1}/{self.epochs}]",
                     disable=self.hard_debug)
         evaluator = self._train_evaluator()
+        log_every = max(1, int(self.cfg.solver.get("log_every", 10)))
+        pending = []
+        fused_metrics = self._fusable_metrics(evaluator)
         for data_dict in loader:
-            out, losses = self.train_forward_backward(data_dict)
-            metrics = evaluator.batch_metrics({**data_dict, **jax_to_host(out)})
+            if fused_metrics is not None:
+                metrics, losses = self.train_forward_backward(
+                    data_dict, metrics_fn=fused_metrics
+                )
+            else:
+                out, losses = self.train_forward_backward(data_dict)
+                metrics = evaluator.batch_metrics({**data_dict, **jax_to_host(out)})
             self.global_step += 1
-            log_dict = {"step": self.global_step}
-            log_dict.update(losses)
-            log_dict.update(metrics)
-            self.log(log_dict, mode="train")
+            pending.append((self.global_step, {**losses, **metrics}))
+            if len(pending) >= log_every:
+                self.flush_train_logs(pending)
+                pending = []
             pbar.update(1)
+        self.flush_train_logs(pending)
         pbar.close()
