@@ -31,8 +31,11 @@ def timed_chain(fn, args, iters=8, reps=3):
         out = None
         for i in range(iters):
             out = fn(*a)
-            first = jax.tree_util.tree_leaves(out)[0]
-            acc = acc + first.astype(jnp.float32).sum() * 1e-12
+            leaves = [x for x in jax.tree_util.tree_leaves(out)
+                      if hasattr(x, "dtype")
+                      and jnp.issubdtype(x.dtype, jnp.inexact)
+                      and x.dtype != jax.dtypes.float0]
+            acc = acc + leaves[0].astype(jnp.float32).sum() * 1e-12
             # make the next call depend on the previous (no overlap)
             a = tuple(
                 x + acc.astype(x.dtype) * 0 if hasattr(x, "dtype") and
