@@ -1,0 +1,68 @@
+"""Throwaway: long-lived TPU experiment server (avoids per-process tunnel
+cold-start stalls, which cost minutes).
+
+Watches /tmp/tpu_jobs/ for *.py files, execs each (newest first by mtime,
+one at a time) in this warm process with a shared globals dict, writes
+stdout+traceback to <name>.out and renames the job to <name>.done.
+Stop with: touch /tmp/tpu_jobs/STOP
+"""
+import io
+import os
+import time
+import traceback
+from contextlib import redirect_stdout, redirect_stderr
+from pathlib import Path
+
+os.environ.setdefault("SCENEVERSE_PALLAS_FAST", "1")
+
+import jax  # noqa: E402
+
+JOBS = Path("/tmp/tpu_jobs")
+JOBS.mkdir(exist_ok=True)
+
+print("warming device...", flush=True)
+import jax.numpy as jnp  # noqa: E402
+float(jnp.ones((8, 8)).sum())
+print("ready", flush=True)
+
+SHARED: dict = {"__name__": "__tpu_exp__"}
+
+while True:
+    stop = JOBS / "STOP"
+    if stop.exists():
+        stop.unlink()
+        print("stopping", flush=True)
+        break
+    jobs = sorted(JOBS.glob("*.py"), key=lambda p: p.stat().st_mtime)
+    if not jobs:
+        time.sleep(0.5)
+        continue
+    job = jobs[0]
+    out = io.StringIO()
+    t0 = time.perf_counter()
+    try:
+        src = job.read_text()
+        with redirect_stdout(out), redirect_stderr(out):
+            exec(compile(src, str(job), "exec"), SHARED)
+        status = "ok"
+    except Exception:
+        out.write(traceback.format_exc())
+        status = "error"
+    dt = time.perf_counter() - t0
+    (job.with_suffix(".out")).write_text(
+        out.getvalue() + f"\n[{status} in {dt:.1f}s]\n")
+    job.rename(job.with_suffix(".done"))
+    print(f"{job.name}: {status} {dt:.1f}s", flush=True)
+    # reclaim HBM between jobs unless the job opts out with KEEP_STATE=True:
+    # jit caches + SHARED refs otherwise accumulate until device OOM, which
+    # wedges the axon client for the rest of the process
+    if not SHARED.get("KEEP_STATE"):
+        import gc
+        for k in list(SHARED.keys()):
+            if not k.startswith("__"):
+                del SHARED[k]
+        jax.clear_caches()
+        gc.collect()
+        for a in jax.live_arrays():
+            a.delete()
+        gc.collect()

@@ -61,13 +61,21 @@ def _row_to_col(row: Array, m: int) -> Array:
 
 
 def _kernel(pts_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
-            pooled_ref, newxyz_ref, g_ref, *, npoint, nsample, radius, n, bo,
-            hs):
+            pooled_ref, newxyz_ref, g_ref, *, npoint, nsample, radius,
+            n, bo, hs):
     """Block of ``bo`` objects. pts_ref (bo, C, N) f32, rows 0..2 = xyz.
     w_i refs are (Cin_i, H_i) bf16 (natural conv layout); s_i refs are
     (2, H_i) f32 [scale; shift] rows (BN folded, or [1; bias]).
     pooled_ref (bo, m, H3) f32; newxyz_ref (bo, 8, m) f32;
-    g_ref VMEM scratch (bo*m*nsample, C) f32."""
+    g_ref VMEM scratch (bo*m*nsample, H1) bf16 (post-layer-1 activations).
+
+    MLP layer 1 is FOLDED INTO the selection dot: selection is linear, so
+    selm @ pts @ w1 == selm @ (pts @ w1), and the xyz-centering distributes
+    (g - [c;0]) @ w1 = g@w1 - c@w1[:3]. The raw selection dot has C (6/131)
+    output lanes — <5%/50% MXU N-utilization; pre-projecting to H1 (64/128)
+    lanes makes the big K=N-points contraction run at full output tiles and
+    drops layer 1 from stage 2. One-hot selection keeps it exact w.r.t. the
+    bf16-projected per-point values."""
     h1, h2, h3 = hs
     m = npoint
     x = pts_ref[:, 0, :]
@@ -128,8 +136,8 @@ def _kernel(pts_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
         ns_c -= 1
     rows = npoint * ns_c  # selection rows per chunk (slot-major: r = sl*m + c)
     lane_n = lax.broadcasted_iota(jnp.int32, (m, n), 1)
-    row_slot = (lax.broadcasted_iota(jnp.int32, (rows, n), 0) // m
-                ).astype(jnp.float32)
+    row_slot1 = (lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // m
+                 ).astype(jnp.float32) + 1.0  # (rows, 1): local slot + 1
     opc = npoint * nsample  # scratch rows per object
 
     w1 = w1_ref[:, :]
@@ -151,43 +159,52 @@ def _kernel(pts_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
         within = (d2 < radius * radius).astype(jnp.float32)
         ranks = _scan_lanes(within, n)
         count_col = ranks[:, n - 1:n]  # (m, 1)
-        # first hit per center; 0 when the ball is empty (CUDA zero-init)
-        first_col = jnp.min(jnp.where(within > 0, lane_n, n), axis=1,
-                            keepdims=True)
-        first_col = jnp.where(first_col == n, 0, first_col)
-        first_oh = (lane_n == first_col).astype(jnp.float32)
-
-        within_rep = pltpu.repeat(within, ns_c, 0)  # (rows, n)
-        ranks_rep = pltpu.repeat(ranks, ns_c, 0)
-        first_rep = pltpu.repeat(first_oh, ns_c, 0)
+        # slot-targeted selection: slot s (0-based) takes the within-point of
+        # rank s+1 when count > s, the FIRST within point (rank 1) when
+        # 0 < count <= s (CUDA pad-with-first), and point 0 when the ball is
+        # empty (CUDA zero-init). Giving non-within points rank -1 — except
+        # lane 0, which keeps rank 0 so an all-empty row matches target 0 —
+        # collapses the whole selection to ONE broadcast compare per chunk
+        # against a per-row (lane-constant) target column. Within-point ranks
+        # are unique (1..count), so the compare yields an exact one-hot.
+        ranksW = jnp.where(within > 0, ranks,
+                           jnp.where(lane_n == 0, 0.0, -1.0))  # (m, n)
+        ranksW_rep = pltpu.repeat(ranksW, ns_c, 0)  # (rows, n)
         count_rep = pltpu.repeat(count_col, ns_c, 0)  # (rows, 1)
-        # hoist the slot-index algebra out of the chunk loop: comparing
-        # (ranks - slot) / (count - slot) against a per-chunk scalar saves
-        # two full-width adds per chunk
-        ranks_rel = ranks_rep - row_slot
-        count_rel = count_rep - row_slot
+        fallback = jnp.minimum(count_rep, 1.0)  # rank 1 if any hit else 0
         centers3 = jnp.concatenate([cx_col, cy_col, cz_col], axis=1)  # (m, 3)
-        centers_rep = pltpu.repeat(centers3, ns_c, 0)  # (rows, 3)
-        pts_b = pts_ref[b, :, :].astype(jnp.bfloat16)  # (C, n)
+        # layer-1 contribution of the xyz-centering: (g - [c;0]) @ w1
+        # = g@w1 - c@w1[:3]; folded with the BN affine into one adjust row
+        cw1 = lax.dot_general(
+            centers3.astype(jnp.bfloat16), w1[0:3, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # (m, H1)
+        adj1 = b1 - a1 * pltpu.repeat(cw1, ns_c, 0)  # (rows, H1)
+        # pre-project the whole object once: (pts @ w1)^T, K=C is tiny
+        pw = lax.dot_general(
+            w1, pts_ref[b, :, :].astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)  # (H1, n)
 
         for chunk in range(nsample // ns_c):
-            c1 = jnp.float32(chunk * ns_c + 1)
-            hit = within_rep * (ranks_rel == c1).astype(jnp.float32)
-            selm = jnp.where(count_rel >= c1, hit, first_rep)  # (rows, n)
-            grouped = lax.dot_general(
-                selm.astype(jnp.bfloat16), pts_b,
+            gs1 = row_slot1 + jnp.float32(chunk * ns_c)  # slot+1, (rows, 1)
+            target = jnp.where(count_rep >= gs1, gs1, fallback)  # (rows, 1)
+            selm = (ranksW_rep == target).astype(jnp.bfloat16)  # (rows, n)
+            gh = lax.dot_general(
+                selm, pw,
                 (((1,), (1,)), ((), ())),  # contract the point dim (lanes)
                 preferred_element_type=jnp.float32,
-            )  # (rows, C) — one-hot selection: exact regardless of dtype
-            g = jnp.concatenate(
-                [grouped[:, 0:3] - centers_rep, grouped[:, 3:]], axis=1
-            )  # centered xyz ++ features
+            )  # (rows, H1) — one-hot selection of pre-projected rows
             off = b * opc + chunk * rows
-            g_ref[off:off + rows, :] = g
+            # bf16 store is lossless w.r.t. stage 2, whose dots cast the
+            # activations to bf16 anyway; halves the scratch footprint
+            g_ref[off:off + rows, :] = jnp.maximum(
+                a1 * gh + adj1, 0.0).astype(jnp.bfloat16)
 
-    # ---- Stage 2: object-batched MLP + slot max-pool. Numerics identical
-    # to per-object dots: each scratch row goes through the same bf16-operand
-    # / f32-accumulate contraction regardless of batching. ----
+    # ---- Stage 2: object-batched MLP (layers 2..3; layer 1 ran fused with
+    # the selection) + slot max-pool. Numerics identical to per-object dots:
+    # each scratch row goes through the same bf16-operand / f32-accumulate
+    # contraction regardless of batching. ----
     sobj = max(1, 4096 // opc)
     while bo % sobj != 0:
         sobj -= 1
@@ -198,8 +215,7 @@ def _kernel(pts_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
                                preferred_element_type=jnp.float32)
 
     for s in range(0, bo, sobj):
-        g = g_ref[s * opc:(s + sobj) * opc, :]
-        h = jnp.maximum(dot(g, w1) * a1 + b1, 0.0)
+        h = g_ref[s * opc:(s + sobj) * opc, :]
         h = jnp.maximum(dot(h, w2) * a2 + b2, 0.0)
         h = jnp.maximum(dot(h, w3) * a3 + b3, 0.0)  # (sobj*opc, H3)
         for bb in range(sobj):
@@ -265,7 +281,9 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
             jax.ShapeDtypeStruct((G, npoint, hs[2]), jnp.float32),
             jax.ShapeDtypeStruct((G, 8, npoint), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((bo * npoint * nsample, C), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((bo * npoint * nsample, hs[0]), jnp.bfloat16),
+        ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
