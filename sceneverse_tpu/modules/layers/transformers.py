@@ -80,16 +80,21 @@ class MultiHeadAttention(nnx.Module):
                  key_padding_mask: Optional[Array] = None,
                  attn_mask: Optional[Array] = None):
         if self.same_dims:
-            w = self.in_proj.kernel[...]  # (D, 3D)
-            b = self.in_proj.bias[...]
+            # manual packed matmul (mirrors torch in_proj_weight), so the
+            # nnx.Linear compute dtype set by enable_mixed_precision must be
+            # applied by hand — without this the whole layer (and every
+            # transformer built on it) silently runs f32 dots
+            dt = self.in_proj.dtype or query.dtype
+            w = self.in_proj.kernel[...].astype(dt)  # (D, 3D)
+            b = self.in_proj.bias[...].astype(dt)
             d = self.d_model
             if query is key and key is value:
-                qkv = query @ w + b
+                qkv = query.astype(dt) @ w + b
                 q, k, v = jnp.split(qkv, 3, axis=-1)
             else:
-                q = query @ w[:, :d] + b[:d]
-                k = key @ w[:, d : 2 * d] + b[d : 2 * d]
-                v = value @ w[:, 2 * d :] + b[2 * d :]
+                q = query.astype(dt) @ w[:, :d] + b[:d]
+                k = key.astype(dt) @ w[:, d : 2 * d] + b[d : 2 * d]
+                v = value.astype(dt) @ w[:, 2 * d :] + b[2 * d :]
         else:
             q, k, v = self.q_proj(query), self.k_proj(key), self.v_proj(value)
         q, k, v = self._split(q), self._split(k), self._split(v)
@@ -98,9 +103,10 @@ class MultiHeadAttention(nnx.Module):
         ) / math.sqrt(self.d_head)
         if attn_mask is not None:
             logits = jnp.where(attn_mask, NEG_INF, logits)
-        attn = _masked_softmax(logits, key_padding_mask)
+        attn = _masked_softmax(logits, key_padding_mask)  # f32 softmax
         attn = self.attn_dropout(attn)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
         B, H, T, dh = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
         return self.out_proj(out), attn
