@@ -56,11 +56,18 @@ while True:
     # reclaim HBM between jobs unless the job opts out with KEEP_STATE=True:
     # jit caches + SHARED refs otherwise accumulate until device OOM, which
     # wedges the axon client for the rest of the process
-    if not SHARED.get("KEEP_STATE"):
+    if not SHARED.pop("KEEP_STATE", False):  # one-shot flag
         import gc
+        import sys
         for k in list(SHARED.keys()):
             if not k.startswith("__"):
                 del SHARED[k]
+        # purge repo modules so the next job re-imports current sources
+        for name in list(sys.modules):
+            if name.split(".")[0] in ("sceneverse_tpu", "bench",
+                                      "bench_towers", "bench_latency",
+                                      "bench_pipeline", "__graft_entry__"):
+                del sys.modules[name]
         jax.clear_caches()
         gc.collect()
         for a in jax.live_arrays():

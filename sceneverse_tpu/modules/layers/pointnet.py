@@ -149,6 +149,31 @@ class PointnetSAModule(nnx.Module):
             return (jax.lax.stop_gradient(new_xyz),
                     jax.lax.stop_gradient(pooled))
 
+        # frozen GroupAll (SA3): fold the eval-BN into per-layer affines and
+        # run the MLP as flattened (B*N, C) bf16 matmuls. The generic path
+        # leaves a (B, 1, N, C) layout whose BatchNorm/dtype round trips cost
+        # ~5x the matmul time at GPS scale (measured 9.0 -> ~2 ms at G=10240).
+        if (self.npoint is None and getattr(self, "fused_frozen", False)):
+            from sceneverse_tpu.ops.pallas.sa_forward import fold_shared_mlp
+
+            g = (
+                jnp.concatenate([xyz, features], axis=-1)
+                if features is not None and self.use_xyz
+                else (features if features is not None else xyz)
+            )  # (B, N, C)
+            B, N, C = g.shape
+            h = g.reshape(B * N, C)
+            for wT, ab in fold_shared_mlp(self.mlp):
+                y = jax.lax.dot_general(
+                    h.astype(jnp.bfloat16), wT.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (B*N, H): wT is (H, Cin)
+                h = jax.nn.relu(y * ab[:, 0] + ab[:, 1])
+            h = h.reshape(B, N, -1)
+            new_features = jnp.max(h, axis=1, keepdims=True)  # (B, 1, C')
+            return None, jax.lax.stop_gradient(new_features)
+
         # the fused sampling kernel pays off on large point counts (SA1);
         # small levels (SA2: N=32) are cheap in XLA and would waste padding
         if self.npoint is not None and self.use_pallas and xyz.shape[1] >= 256:

@@ -60,26 +60,28 @@ def mesh_from_cfg(cfg) -> Mesh:
     return make_mesh(n_devices=dp * mp, mp=mp)
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over 'dp'."""
-    return NamedSharding(mesh, P("dp"))
+def batch_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    """Shard the batch dim (``axis``) over 'dp'."""
+    return NamedSharding(mesh, P(*([None] * axis), "dp"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
+def shard_batch(batch: dict, mesh: Mesh, axis: int = 0) -> dict:
     """Place a host batch dict onto the mesh, batch-dim sharded.
 
-    Scalars / 0-d entries are replicated, as are arrays whose leading dim
-    doesn't divide dp (end-of-dataloader remainder batches — the analog of
-    the reference's uneven-tail handling in ``gather_for_metrics``,
-    reference common/misc.py:84-132; replication keeps the math exact at a
-    small cost that only the last eval batch pays). Non-array values pass
-    through (they must not enter jit).
+    ``axis`` is the batch dimension (1 for the trainer's stacked
+    steps-per-dispatch batches of shape (K, B, ...)). Scalars / too-small
+    entries are replicated, as are arrays whose batch dim doesn't divide dp
+    (end-of-dataloader remainder batches — the analog of the reference's
+    uneven-tail handling in ``gather_for_metrics``, reference
+    common/misc.py:84-132; replication keeps the math exact at a small cost
+    that only the last eval batch pays). Non-array values pass through (they
+    must not enter jit).
     """
-    bs = batch_sharding(mesh)
+    bs = batch_sharding(mesh, axis)
     rep = replicated(mesh)
     dp = mesh.shape.get("dp", mesh.devices.size)
 
@@ -87,7 +89,7 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
         if isinstance(x, jax.Array) and x.committed:
             return x  # already device-resident (e.g. a cached bench batch)
         if hasattr(x, "ndim"):
-            sharded = x.ndim >= 1 and x.shape[0] % dp == 0
+            sharded = x.ndim > axis and x.shape[axis] % dp == 0
             return jax.device_put(x, bs if sharded else rep)
         return x
 

@@ -37,6 +37,59 @@ from sceneverse_tpu.utils.logger import MetricsLogger
 TRAINER_REGISTRY = Registry("trainer")
 
 
+def _pack_host(arrays: dict):
+    """Pack a dict of host arrays into ONE int32 buffer + static layout.
+
+    Every jax.device_put is a separate host->device round trip; on
+    high-latency links (remote-execution tunnels; congested PCIe) a ~25-leaf
+    batch dict costs 25 round trips per step. Packing sends one buffer; the
+    train program unpacks with static slices + bitcasts (free: fused into
+    the first consumers). int64/float64 narrow to 32-bit (x64 is disabled),
+    bools ride as int32 and are restored on unpack.
+    """
+    metas, parts, off = [], [], 0
+    for k in sorted(arrays):
+        a = np.asarray(arrays[k])
+        kind = "i32"
+        if a.dtype == np.bool_:
+            a, kind = a.astype(np.int32), "bool"
+        elif np.issubdtype(a.dtype, np.floating):
+            a, kind = a.astype(np.float32), "f32"
+        else:
+            a = a.astype(np.int32)
+        # a tiny minor dim would tile-pad to 128 lanes when the unpacked
+        # array materializes on device (a 21x HBM blowup for (...,1024,6)
+        # point clouds) — ship those transposed and swap back lazily in
+        # program (fuses with the consumers' own transposes)
+        swap = a.ndim >= 2 and a.shape[-1] < 8 and a.shape[-2] >= 128
+        if swap:
+            a = np.swapaxes(a, -1, -2)
+        a = np.ascontiguousarray(a)
+        flat = a.reshape(-1).view(np.int32)
+        metas.append((k, a.shape, kind, off, flat.size, swap))
+        parts.append(flat)
+        off += flat.size
+    return np.concatenate(parts), tuple(metas)
+
+
+def _unpack_device(buf, metas):
+    """Inverse of _pack_host, inside jit (static layout)."""
+    import jax.numpy as jnp
+
+    out = {}
+    for k, shape, kind, off, n, swap in metas:
+        seg = jax.lax.slice(buf, (off,), (off + n,))
+        if kind == "f32":
+            arr = jax.lax.bitcast_convert_type(seg, jnp.float32)
+        elif kind == "bool":
+            arr = seg.astype(bool)
+        else:
+            arr = seg
+        arr = arr.reshape(shape)
+        out[k] = jnp.swapaxes(arr, -1, -2) if swap else arr
+    return out
+
+
 class Tracker:
     """Checkpointable experiment progress (reference trainer/build.py:29-45)."""
 
@@ -136,9 +189,22 @@ class BaseTrainer:
 
         self._compiled_train_step = None
         self._train_step_metrics = None
+        self._train_step_metas = None
+        self._compiled_train_k = None
+        self._train_k_metrics = None
+        self._train_k_len = 0
+        self._train_k_metas = None
         self._compiled_forward = None
         self._graphdef = None
         self._train_state = None
+        # single-buffer host->device batch transfer (see _pack_host); the
+        # in-program unpack doesn't express dp sharding, so only for a
+        # single-device mesh (the multi-device path keeps per-leaf puts,
+        # which shard on arrival)
+        self._packed = (
+            self.mesh.devices.size == 1
+            and str(cfg.solver.get("packed_transfer", "auto")) != "off"
+        )
 
     # ------------------------------------------------------------- jit steps
     #
@@ -149,15 +215,22 @@ class BaseTrainer:
     # bench_pipeline.py: 230 vs 611 scenes/s); split/merge moves that cost to
     # trace time. The input state buffer is donated so parameters/optimizer
     # state are updated in place in HBM (no double buffering).
-    def _build_train_step(self, metrics_fn=None):
+    def _build_train_step(self, metrics_fn=None, metas=None):
         from functools import partial
 
         loss_mod = self.loss
         self.model.train()
-        self._graphdef, self._train_state = nnx.split((self.model, self.optimizer))
+        # keep any live functional state: after a donating step has run, the
+        # NNX modules' own buffers are deleted and only _train_state is real
+        graphdef, state0 = nnx.split((self.model, self.optimizer))
+        self._graphdef = graphdef
+        if self._train_state is None:
+            self._train_state = state0
 
         @partial(jax.jit, donate_argnums=0)
         def train_step(state, batch):
+            if metas is not None:
+                batch = _unpack_device(batch, metas)
             model, optimizer = nnx.merge(self._graphdef, state)
 
             def loss_fn(model):
@@ -179,6 +252,92 @@ class BaseTrainer:
 
         return train_step
 
+    def _build_train_k(self, metrics_fn, k, metas=None):
+        """K dependent train steps inside ONE executable (lax.scan).
+
+        Dispatch latency (sub-ms on an attached chip, tens of ms through a
+        remote-execution proxy, seconds on a contended host) is paid once per
+        K steps instead of per step, and so is the log-flush fetch. Semantics
+        are identical to K single steps: the scan threads (params, optimizer,
+        rng) state exactly as the python loop does. Reference analog: the
+        per-step loop in trainer/default_trainer.py:26-46 — collapsed here
+        because on TPU the whole step is one program, so chaining programs
+        is free.
+        """
+        from functools import partial
+
+        loss_mod = self.loss
+        self.model.train()
+        graphdef, state0 = nnx.split((self.model, self.optimizer))
+        self._graphdef = graphdef
+        if self._train_state is None:
+            self._train_state = state0
+
+        @partial(jax.jit, donate_argnums=0)
+        def train_k(state, batches):
+            if metas is not None:
+                batches = _unpack_device(batches, metas)
+
+            def body(st, batch):
+                model, optimizer = nnx.merge(graphdef, st)
+
+                def loss_fn(model):
+                    out = model(batch)
+                    total, losses = loss_mod(out)
+                    return total, (out, losses)
+
+                (_, (out, losses)), grads = nnx.value_and_grad(
+                    loss_fn, has_aux=True
+                )(model)
+                optimizer.update(model, grads)
+                _, new_state = nnx.split((model, optimizer))
+                return new_state, (metrics_fn({**batch, **out}), losses)
+
+            state, (metrics, losses) = jax.lax.scan(body, state, batches)
+            return metrics, losses, state
+
+        return train_k
+
+    def train_forward_backward_k(self, data_dicts, metrics_fn):
+        """Run ``len(data_dicts)`` steps in one dispatch (see _build_train_k).
+
+        Returns (metrics, losses) dicts whose leaves are stacked (K,) device
+        arrays — flush_train_logs understands the stacked form.
+        """
+        k = len(data_dicts)
+        stacked = {}
+        for key, v0 in data_dicts[0].items():
+            vs = [d[key] for d in data_dicts]
+            if hasattr(v0, "ndim") and getattr(v0, "ndim", 0) >= 1:
+                stacked[key] = np.stack([np.asarray(v) for v in vs])
+            elif isinstance(v0, (int, float, bool, np.number)) or (
+                    hasattr(v0, "ndim") and v0.ndim == 0):
+                stacked[key] = np.asarray(vs)
+        host_input = not any(
+            isinstance(v, jax.Array) for d in data_dicts for v in d.values()
+        )
+        if self._packed and host_input:
+            buf, metas = _pack_host(stacked)
+            batches = jax.device_put(buf)
+        else:
+            metas = None
+            batches = shard_batch(stacked, self.mesh, axis=1)
+        if (self._compiled_train_k is None
+                or self._train_k_metrics is not metrics_fn
+                or self._train_k_len != k
+                or self._train_k_metas != metas):
+            self._compiled_train_k = self._build_train_k(metrics_fn, k, metas)
+            self._train_k_metrics = metrics_fn
+            self._train_k_len = k
+            self._train_k_metas = metas
+        if self._train_state is None:
+            self.model.train()
+            _, self._train_state = nnx.split((self.model, self.optimizer))
+        metrics, losses, self._train_state = self._compiled_train_k(
+            self._train_state, batches
+        )
+        return metrics, losses
+
     def _build_forward(self):
         @nnx.jit
         def forward(model, batch):
@@ -199,14 +358,30 @@ class BaseTrainer:
         metrics run inside the same program and the first return value is the
         metrics dict instead of the model outputs.
         """
+        host_input = not any(
+            isinstance(v, jax.Array) for v in data_dict.values()
+        )
+        if self._packed and host_input:
+            arrays = {
+                k: v for k, v in data_dict.items()
+                if hasattr(v, "ndim") or isinstance(v, (int, float, bool,
+                                                        np.number))
+            }
+            buf, metas = _pack_host(arrays)
+            batch = jax.device_put(buf)
+        else:
+            metas = None
+            batch = self._device_batch(data_dict)
         if (self._compiled_train_step is None
-                or self._train_step_metrics is not metrics_fn):
-            self._compiled_train_step = self._build_train_step(metrics_fn)
+                or self._train_step_metrics is not metrics_fn
+                or self._train_step_metas != metas):
+            self._compiled_train_step = self._build_train_step(metrics_fn,
+                                                               metas)
             self._train_step_metrics = metrics_fn
+            self._train_step_metas = metas
         if self._train_state is None:  # re-split after an eval/save round trip
             self.model.train()
             _, self._train_state = nnx.split((self.model, self.optimizer))
-        batch = self._device_batch(data_dict)
         out, losses, self._train_state = self._compiled_train_step(
             self._train_state, batch
         )
@@ -276,14 +451,26 @@ class BaseTrainer:
         import jax.numpy as jnp
 
         # pack all scalars into ONE (steps, keys) device array -> ONE transfer
-        # (device_get of N tiny arrays costs N round trips on remote runtimes)
+        # (device_get of N tiny arrays costs N round trips on remote runtimes).
+        # Entries are (step, {key: scalar}) from the single-step path or
+        # (first_step, {key: (K,) array}, K) from the steps-per-dispatch path.
         keys = list(pending[0][1].keys())
-        stacked = jnp.asarray(
-            [[jnp.asarray(vals.get(k, jnp.nan), jnp.float32) for k in keys]
-             for _, vals in pending]
-        )
-        host = np.asarray(stacked)
-        for (step, _), row in zip(pending, host):
+        steps, mats = [], []
+        for entry in pending:
+            if len(entry) == 3:
+                step0, vals, k = entry
+                mats.append(jnp.stack(
+                    [jnp.asarray(vals.get(key, jnp.full((k,), jnp.nan)),
+                                 jnp.float32) for key in keys], axis=1))
+                steps.extend(range(step0, step0 + k))
+            else:
+                step0, vals = entry
+                mats.append(jnp.asarray(
+                    [[jnp.asarray(vals.get(key, jnp.nan), jnp.float32)
+                      for key in keys]]))
+                steps.append(step0)
+        host = np.asarray(jnp.concatenate(mats, axis=0))
+        for step, row in zip(steps, host):
             self.log(dict(zip(keys, row)), mode="train", step=step)
 
     # ----------------------------------------------------------- checkpointing

@@ -19,6 +19,13 @@ class DefaultTrainer(BaseTrainer):
     def _val_evaluator(self):
         return self.evaluator
 
+    def _annotate_batch(self, data_dict, cur_step):
+        # mixup-style schedules read cur_step/total_steps
+        # (reference default_trainer.py:32-33)
+        data_dict["cur_step"] = cur_step
+        data_dict["total_steps"] = self.total_steps
+        return data_dict
+
     def train_step(self, epoch):
         from sceneverse_tpu.utils.profiling import trace
 
@@ -34,30 +41,60 @@ class DefaultTrainer(BaseTrainer):
         # `log_every` steps keeps the hot loop free of pipeline syncs
         # (see BaseTrainer.flush_train_logs)
         log_every = max(1, int(self.cfg.solver.get("log_every", 10)))
+        # steps_per_dispatch > 1 runs K steps per XLA dispatch (lax.scan over
+        # K stacked batches) — identical math, 1/K the dispatch + log-fetch
+        # overhead; the tail chunk (< K batches) takes the single-step path
+        spd = max(1, int(self.cfg.solver.get("steps_per_dispatch", 1)))
         pending = []
         fused_metrics = self._fusable_metrics(evaluator)
+
+        def annotate(data_dict, i):
+            return self._annotate_batch(data_dict, epoch * n + i)
+
+        def single(data_dict, i):
+            data_dict = annotate(data_dict, i)
+            if fused_metrics is not None:
+                metrics, losses = self.train_forward_backward(
+                    data_dict, metrics_fn=fused_metrics
+                )
+            else:
+                out, losses = self.train_forward_backward(data_dict)
+                metrics = evaluator.batch_metrics(
+                    {**data_dict, **jax_to_host(out)}
+                )
+            self.global_step += 1
+            pending.append((self.global_step, {**losses, **metrics}))
+
         with trace(f"{exp_dir}/profile", enabled=profiling and n > 0):
-            for i, data_dict in enumerate(loader):
-                # mixup-style schedules read cur_step/total_steps
-                # (reference default_trainer.py:32-33)
-                data_dict["cur_step"] = epoch * n + i
-                data_dict["total_steps"] = self.total_steps
-                if fused_metrics is not None:
-                    metrics, losses = self.train_forward_backward(
-                        data_dict, metrics_fn=fused_metrics
+            i = 0
+            it = iter(loader)
+            while True:
+                chunk = []
+                while len(chunk) < spd:
+                    try:
+                        chunk.append(next(it))
+                    except StopIteration:
+                        break
+                if not chunk:
+                    break
+                if len(chunk) == spd and spd > 1 and fused_metrics is not None:
+                    dicts = [annotate(d, i + j) for j, d in enumerate(chunk)]
+                    metrics, losses = self.train_forward_backward_k(
+                        dicts, fused_metrics
                     )
+                    pending.append(
+                        (self.global_step + 1, {**losses, **metrics}, spd)
+                    )
+                    self.global_step += spd
                 else:
-                    out, losses = self.train_forward_backward(data_dict)
-                    metrics = evaluator.batch_metrics(
-                        {**data_dict, **jax_to_host(out)}
-                    )
-                self.global_step += 1
-                pending.append((self.global_step, {**losses, **metrics}))
-                if len(pending) >= log_every:
+                    for j, d in enumerate(chunk):
+                        single(d, i + j)
+                i += len(chunk)
+                if len(pending) >= max(1, log_every // spd):
                     self.flush_train_logs(pending)
                     pending = []
-                pbar.update(1)
-                if profiling and i + 1 >= self.profile_steps:
+                pbar.update(len(chunk))
+                if profiling and i >= self.profile_steps:
                     break
         self.flush_train_logs(pending)
         pbar.close()

@@ -130,3 +130,42 @@ def test_mode_test_eval_only(tmp_path):
     assert set(trainer2.data_loaders) == {"test"}
     results = trainer2.run()
     assert "accuracy" in results
+
+
+def test_steps_per_dispatch_equivalence(tmp_path):
+    """solver.steps_per_dispatch runs K steps per lax.scan dispatch with math
+    identical to the single-step loop: same data order + same rng threading
+    => identical post-training parameters."""
+    import jax
+
+    cfg1 = objcls_cfg(tmp_path / "a", epochs=1)
+    trainer1 = build_trainer(cfg1)
+    trainer1.train_step(0)
+    trainer1._materialize()
+    p1 = nnx.to_pure_dict(nnx.state(trainer1.model, nnx.Param))
+
+    cfg2 = objcls_cfg(tmp_path / "b", epochs=1)
+    cfg2.solver.steps_per_dispatch = 2
+    trainer2 = build_trainer(cfg2)
+    trainer2.train_step(0)
+    trainer2._materialize()
+    assert trainer2._compiled_train_k is not None  # scan path exercised
+    assert trainer2.global_step == trainer1.global_step == 2
+    p2 = nnx.to_pure_dict(nnx.state(trainer2.model, nnx.Param))
+
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_steps_per_dispatch_tail(tmp_path):
+    """A chunk shorter than K falls back to the single-step path (here
+    3 steps with K=2: one scan chunk + one tail step)."""
+    cfg = objcls_cfg(tmp_path, epochs=1)
+    cfg.data.synthetic_size = 24  # 3 batches of 8
+    cfg.solver.steps_per_dispatch = 2
+    trainer = build_trainer(cfg)
+    trainer.train_step(0)
+    assert trainer.global_step == 3
+    assert trainer._compiled_train_k is not None
+    assert trainer._compiled_train_step is not None  # tail used single path
