@@ -269,11 +269,29 @@ class PointNetPP(nnx.Module):
 
 
 def _query_group(xyz, new_xyz, features, radius, nsample, use_xyz,
-                 normalize_xyz=False):
+                 normalize_xyz=False, sample_uniformly=False, key=None):
     """QueryAndGroup (reference pointnet2_utils.py:291-373), channel-last.
+
+    ``sample_uniformly`` re-fills the pad slots (ball_query pads with the
+    first in-ball index) with uniform draws from the ball's unique points
+    (reference :333-342). The reference's torch.unique() additionally sorts
+    the kept indices; the kept set and the fill distribution are identical,
+    only the within-ball slot order differs — irrelevant downstream, where
+    groups feed order-invariant pooled MLPs.
 
     Returns (grouped (B, M, S, C'), grouped_xyz (B, M, S, 3))."""
     idx = ball_query(radius, nsample, xyz, new_xyz)
+    if sample_uniformly:
+        d2 = jnp.sum((xyz[:, None, :, :] - new_xyz[:, :, None, :]) ** 2,
+                     axis=-1)  # (B, M, N)
+        cnt = jnp.clip(jnp.sum(d2 < radius * radius, axis=-1),
+                       1, nsample)  # unique in-ball count (empty ball: {0})
+        key = jax.random.PRNGKey(0) if key is None else key
+        u = jax.random.uniform(key, idx.shape)
+        rand_slot = jnp.floor(u * cnt[..., None]).astype(jnp.int32)
+        resampled = jnp.take_along_axis(idx, rand_slot, axis=2)
+        slot = jnp.arange(nsample)[None, None, :]
+        idx = jnp.where(slot < cnt[..., None], idx, resampled)
     grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
     if normalize_xyz:
         grouped_xyz = grouped_xyz / radius
@@ -335,13 +353,16 @@ class PointnetSAModuleVotes(nnx.Module):
                  radius: Optional[float] = None, nsample: Optional[int] = None,
                  bn: bool = True, use_xyz: bool = True, pooling: str = "max",
                  sigma: Optional[float] = None, normalize_xyz: bool = False,
-                 ret_unique_cnt: bool = False,
+                 sample_uniformly: bool = False, ret_unique_cnt: bool = False,
                  axis_name: Optional[str] = None, rngs: nnx.Rngs):
+        if ret_unique_cnt:
+            assert sample_uniformly  # reference pointnet2_utils.py:311-312
         self.npoint = npoint
         self.radius = radius
         self.nsample = nsample
         self.pooling = pooling
         self.use_xyz = use_xyz
+        self.sample_uniformly = sample_uniformly
         self.ret_unique_cnt = ret_unique_cnt
         self.sigma = sigma if sigma is not None else (
             radius / 2 if radius is not None else None)
@@ -352,7 +373,7 @@ class PointnetSAModuleVotes(nnx.Module):
         self.mlp = SharedMLP(spec, bn=bn, axis_name=axis_name, rngs=rngs)
 
     def __call__(self, xyz: Array, features: Optional[Array],
-                 inds: Optional[Array] = None):
+                 inds: Optional[Array] = None, key: Optional[Array] = None):
         if inds is None:
             inds = furthest_point_sample(xyz, self.npoint)
         else:
@@ -362,7 +383,8 @@ class PointnetSAModuleVotes(nnx.Module):
         if self.npoint is not None:
             grouped, grouped_xyz = _query_group(
                 xyz, new_xyz, features, self.radius, self.nsample,
-                self.use_xyz, normalize_xyz=self.normalize_xyz)
+                self.use_xyz, normalize_xyz=self.normalize_xyz,
+                sample_uniformly=self.sample_uniformly, key=key)
         else:
             grouped = (jnp.concatenate([xyz, features], axis=-1)
                        if features is not None and self.use_xyz

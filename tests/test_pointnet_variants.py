@@ -114,9 +114,42 @@ def test_lfp_msg_shapes():
 def test_sa_votes_ret_unique_cnt():
     xyz, feats = inputs()
     m = PointnetSAModuleVotes(
-        mlp=[C, 16], npoint=16, radius=0.8, nsample=8, ret_unique_cnt=True,
+        mlp=[C, 16], npoint=16, radius=0.8, nsample=8,
+        sample_uniformly=True, ret_unique_cnt=True,
         rngs=nnx.Rngs(0))
     m.eval()
     new_xyz, out, inds, cnt = m(xyz, feats)
     assert cnt.shape == (B, 16)
     assert int(cnt.min()) >= 1 and int(cnt.max()) <= 8  # center always within
+
+
+def test_sample_uniformly_refills_pad_slots():
+    """sample_uniformly (reference pointnet2_utils.py:333-342): pad slots are
+    re-drawn uniformly from the ball's unique points; kept slots unchanged."""
+    import jax
+    from sceneverse_tpu.modules.layers.pointnet import _query_group
+    from sceneverse_tpu.ops.pointops import ball_query
+
+    xyz, _ = inputs()
+    new_xyz = xyz[:, :16]
+    radius, nsample = 0.8, 8
+    idx0 = np.asarray(ball_query(radius, nsample, xyz, new_xyz))
+    d2 = np.sum((np.asarray(xyz)[:, None] - np.asarray(new_xyz)[:, :, None]) ** 2, -1)
+    cnt = np.clip((d2 < radius * radius).sum(-1), 1, nsample)
+
+    _, grouped_xyz = _query_group(
+        xyz, new_xyz, None, radius, nsample, use_xyz=True,
+        sample_uniformly=True, key=jax.random.PRNGKey(3))
+    # recover the chosen indices by matching grouped offsets to points
+    g = np.asarray(grouped_xyz) + np.asarray(new_xyz)[:, :, None, :]
+    pts = np.asarray(xyz)
+    for b in range(2):
+        for m in range(16):
+            c = cnt[b, m]
+            uniq = set(idx0[b, m, :c])
+            for s_ in range(nsample):
+                # the grouped point must be one of the ball's unique points
+                dists = np.sum((pts[b] - g[b, m, s_]) ** 2, -1)
+                j = int(dists.argmin())
+                assert dists[j] < 1e-9
+                assert j in uniq
