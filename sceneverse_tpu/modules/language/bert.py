@@ -89,6 +89,20 @@ class BertSelfAttention(nnx.Module):
         H, dh = self.num_heads, self.head_dim
         split = lambda t: t.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
         q, k, v = split(self.query(x)), split(self.key(x)), split(self.value(x))
+        # fused (flash) path when prob-dropout is inactive (the kernel has
+        # none; training keeps HF dropout semantics). attn_bias is the HF
+        # additive mask (large negative at pads, (B,1,1,L)) — recover the
+        # pad set; -1e4 vs -inf is indistinguishable post-softmax in f32
+        # (exp underflows at -88).
+        from sceneverse_tpu.ops.pallas.attention import flash_enabled
+
+        if (self.dropout.rate == 0.0 or self.dropout.deterministic) \
+                and flash_enabled():
+            from sceneverse_tpu.ops.pallas.attention import masked_mha
+
+            key_pad = attn_bias[:, 0, 0, :] < -1.0  # (B, L) True = pad
+            out = masked_mha(q, k, v, key_pad, sm_scale=1.0 / math.sqrt(dh))
+            return out.transpose(0, 2, 1, 3).reshape(B, L, D)
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) / math.sqrt(dh)

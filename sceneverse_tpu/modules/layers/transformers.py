@@ -98,6 +98,21 @@ class MultiHeadAttention(nnx.Module):
         else:
             q, k, v = self.q_proj(query), self.k_proj(key), self.v_proj(value)
         q, k, v = self._split(q), self._split(k), self._split(v)
+        # fused (flash) path: only when attention dropout is inactive — the
+        # kernel has no prob-dropout, and training must keep the reference's
+        # dropout semantics (reference transformers.py:139-141)
+        dropout_off = (self.attn_dropout.rate == 0.0
+                       or self.attn_dropout.deterministic)
+        from sceneverse_tpu.ops.pallas.attention import flash_enabled
+
+        if dropout_off and attn_mask is None and flash_enabled():
+            from sceneverse_tpu.ops.pallas.attention import masked_mha
+
+            out = masked_mha(q, k, v, key_padding_mask,
+                             sm_scale=1.0 / math.sqrt(self.d_head))
+            B, H, T, dh = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
+            return self.out_proj(out), None
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) / math.sqrt(self.d_head)
@@ -310,6 +325,12 @@ class MultiHeadAttentionSpatial(nnx.Module):
             )
             loc_attn = jax.nn.sigmoid(loc_attn)
 
+        # NOTE: a fused-attention (flash, ab=spatial bias) variant of this
+        # layer was measured SLOWER than XLA at GPS shapes (L=80: 840 -> 748
+        # scenes/s): the additive bias must materialize f32 lane-padded for
+        # the kernel, which costs more HBM traffic than XLA's fused mask-add
+        # saves. The XLA path stays; masked_mha(ab=...) remains available
+        # for long-sequence configs where the L x L blocks dominate.
         if key_padding_mask is not None:
             mask = key_padding_mask[:, None, None, :]  # (B,1,1,T)
             attn = jnp.where(mask, NEG_INF, attn)
