@@ -60,8 +60,40 @@ def _row_to_col(row: Array, m: int) -> Array:
     return jnp.sum(jnp.where(i == j, b, 0.0), axis=1, keepdims=True)
 
 
+def _stage2_pool_dense(g_ref, wm_ref, pooled_ref, w2, a2, b2, w3, a3, b3, *,
+                       npoint, n, bo, h3, opc):
+    """Dense-pairs stage 2: object-batched MLP layers 2..3 over all
+    (center, point) pairs, then a within-masked max over points with the
+    empty-ball fallback pair (c, 0)."""
+    m = npoint
+    sobj = max(1, 4096 // opc)
+    while bo % sobj != 0:
+        sobj -= 1
+
+    def dot(h, w):
+        return lax.dot_general(h.astype(jnp.bfloat16), w,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    for s in range(0, bo, sobj):
+        h = g_ref[s * opc:(s + sobj) * opc, :]
+        h = jnp.maximum(dot(h, w2) * a2 + b2, 0.0)
+        h = jnp.maximum(dot(h, w3) * a3 + b3, 0.0)  # (sobj*opc, H3)
+        for bb in range(sobj):
+            o = s + bb
+            wm = wm_ref[o * m:(o + 1) * m, :]  # (m, n)
+            count_col = jnp.sum(wm, axis=1, keepdims=True)  # (m, 1)
+            pooled = jnp.full((m, h3), -3.0e38, jnp.float32)
+            for p in range(n):
+                seg = h[bb * opc + p * m:bb * opc + (p + 1) * m, :]
+                pooled = jnp.maximum(
+                    pooled, jnp.where(wm[:, p:p + 1] > 0, seg, -3.0e38))
+            h0 = h[bb * opc:bb * opc + m, :]  # pair (c, 0): empty-ball pick
+            pooled_ref[o, :, :] = jnp.where(count_col > 0, pooled, h0)
+
+
 def _kernel(pts_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
-            pooled_ref, newxyz_ref, g_ref, *, npoint, nsample, radius,
+            pooled_ref, newxyz_ref, g_ref, *scratch, npoint, nsample, radius,
             n, bo, hs):
     """Block of ``bo`` objects. pts_ref (bo, C, N) f32, rows 0..2 = xyz.
     w_i refs are (Cin_i, H_i) bf16 (natural conv layout); s_i refs are
@@ -129,8 +161,24 @@ def _kernel(pts_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
     newxyz_ref[:, 2, :] = cza
     newxyz_ref[:, 3:, :] = jnp.zeros((bo, 5, npoint), jnp.float32)
 
-    # ---- Stage 1: per-object ball query + gather into the VMEM scratch,
-    # (m, N) orientation throughout ----
+    # ---- Stage 1 ----
+    # Two statically-selected formulations:
+    #
+    #  * DENSE (nsample >= n, e.g. SA2: n = nsample = 32): with max pooling,
+    #    ball-query selection is VACUOUS — every within-ball point is
+    #    selected (count <= n <= nsample) and CUDA's pad-with-first slots
+    #    only duplicate existing group members, which a max ignores. So the
+    #    group never needs materializing: compute layer-1 features for ALL
+    #    (center, point) pairs straight from the w1-fold,
+    #        h1[c,p] = relu(a1 * (pw[p] - cw1[c]) + b1),
+    #    a pure broadcast — no rank scan, no one-hot selection dots — and
+    #    max-pool under the within mask, falling back to the pair (c, 0)
+    #    for empty balls (CUDA zero-init picks point 0).
+    #
+    #  * SELECTION (nsample < n, e.g. SA1: n=1024, nsample=32): dense pairs
+    #    would be n/nsample x more MLP work, so groups are gathered by
+    #    one-hot matmuls against per-(center, slot) rank targets.
+    dense = nsample >= n
     ns_c = max(1, min(nsample, 256 // npoint))
     while nsample % ns_c != 0:
         ns_c -= 1
@@ -138,7 +186,7 @@ def _kernel(pts_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
     lane_n = lax.broadcasted_iota(jnp.int32, (m, n), 1)
     row_slot1 = (lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // m
                  ).astype(jnp.float32) + 1.0  # (rows, 1): local slot + 1
-    opc = npoint * nsample  # scratch rows per object
+    opc = npoint * (n if dense else nsample)  # scratch rows per object
 
     w1 = w1_ref[:, :]
     w2 = w2_ref[:, :]
@@ -146,6 +194,42 @@ def _kernel(pts_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
     a1, b1 = s1_ref[0:1, :], s1_ref[1:2, :]  # (1, H) rows broadcast over cols
     a2, b2 = s2_ref[0:1, :], s2_ref[1:2, :]
     a3, b3 = s3_ref[0:1, :], s3_ref[1:2, :]
+
+    if dense:
+        wm_ref = scratch[0]  # (bo*m, n) f32 within masks for the pool stage
+        for b in range(bo):
+            cx_col = _row_to_col(cxa[b:b + 1, :], m)
+            cy_col = _row_to_col(cya[b:b + 1, :], m)
+            cz_col = _row_to_col(cza[b:b + 1, :], m)
+            d2 = ((x[b:b + 1, :] - cx_col) ** 2
+                  + (y[b:b + 1, :] - cy_col) ** 2
+                  + (z[b:b + 1, :] - cz_col) ** 2)  # (m, n)
+            within = (d2 < radius * radius).astype(jnp.float32)
+            wm_ref[b * m:(b + 1) * m, :] = within
+            centers3 = jnp.concatenate([cx_col, cy_col, cz_col], 1)  # (m, 3)
+            cw1 = lax.dot_general(
+                centers3.astype(jnp.bfloat16), w1[0:3, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # (m, H1)
+            pw = lax.dot_general(
+                pts_ref[b, :, :].astype(jnp.bfloat16), w1,
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # (n, H1) = pts @ w1
+            # bf16 round-trip so pair values bit-match the selection path's
+            # bf16 pw gather
+            pw = pw.astype(jnp.bfloat16).astype(jnp.float32)
+            # p-major pair rows r = p*m + c: pw element-repeats (broadcast
+            # slices), cw1 block-repeats
+            pw_rep = jnp.concatenate(
+                [jnp.broadcast_to(pw[p:p + 1, :], (m, h1)) for p in range(n)],
+                axis=0)  # (n*m, H1)
+            cw1_rep = pltpu.repeat(cw1, n, 0)  # (n*m, H1)
+            g_ref[b * opc:(b + 1) * opc, :] = jnp.maximum(
+                a1 * (pw_rep - cw1_rep) + b1, 0.0).astype(jnp.bfloat16)
+
+        _stage2_pool_dense(g_ref, wm_ref, pooled_ref, w2, a2, b2, w3, a3, b3,
+                           npoint=npoint, n=n, bo=bo, h3=h3, opc=opc)
+        return
 
     for b in range(bo):
         x_row = x[b:b + 1, :]
@@ -281,9 +365,12 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
             jax.ShapeDtypeStruct((G, npoint, hs[2]), jnp.float32),
             jax.ShapeDtypeStruct((G, 8, npoint), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((bo * npoint * nsample, hs[0]), jnp.bfloat16),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((bo * npoint * min(nsample, N), hs[0]),
+                        jnp.bfloat16)]
+            + ([pltpu.VMEM((bo * npoint, N), jnp.float32)]
+               if nsample >= N else [])  # dense path: within masks
+        ),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

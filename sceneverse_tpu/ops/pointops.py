@@ -142,13 +142,18 @@ def ball_query(radius: float, nsample: int, xyz: Array, new_xyz: Array) -> Array
     within = d2 < (radius * radius)
     order = jnp.arange(N, dtype=jnp.int32)
     key = jnp.where(within, order, order + N)  # hits sort before misses
-    neg_small, _ = lax.top_k(-key, nsample)  # nsample smallest keys, ascending
-    idx = -neg_small  # (B, M, nsample), sorted: hits in index order first
+    k = min(nsample, N)  # CUDA allows nsample > N: extra slots pad-with-first
+    neg_small, _ = lax.top_k(-key, k)  # k smallest keys, ascending
+    idx = -neg_small  # (B, M, k), sorted: hits in index order first
     idx = jnp.where(idx >= N, idx - N, idx)
     count = jnp.sum(within, axis=-1, dtype=jnp.int32)  # (B, M)
+    first = idx[..., :1]  # first hit if any; index 0 when ball empty
+    if k < nsample:
+        idx = jnp.concatenate(
+            [idx, jnp.broadcast_to(first, (*first.shape[:-1], nsample - k))],
+            axis=-1)
     slots = jnp.arange(nsample, dtype=jnp.int32)
     filled = slots[None, None, :] < count[..., None]
-    first = idx[..., :1]  # first hit if any; index 0 when ball empty
     return jnp.where(filled, idx, first)
 
 
