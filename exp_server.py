@@ -1,7 +1,7 @@
 """Throwaway: long-lived TPU experiment server (avoids per-process tunnel
 cold-start stalls, which cost minutes).
 
-Watches /tmp/tpu_jobs/ for *.py files, execs each (newest first by mtime,
+Watches /tmp/tpu_jobs/ for *.py files, execs each (oldest first by mtime,
 one at a time) in this warm process with a shared globals dict, writes
 stdout+traceback to <name>.out and renames the job to <name>.done.
 Stop with: touch /tmp/tpu_jobs/STOP

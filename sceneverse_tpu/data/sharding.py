@@ -65,5 +65,11 @@ class ShardedDataset:
         return self.dataset[int(self.indices[i])]
 
     def __getattr__(self, name):
-        # delegate collate/meta attributes (e.g. answer vocabs) to the base
+        # delegate collate/meta attributes (e.g. answer vocabs) to the base.
+        # Guard dunders and 'dataset' itself: during unpickling (spawn
+        # DataLoader workers) lookups happen before __dict__ is restored and
+        # unconditional delegation would recurse; hijacking __getstate__ /
+        # __reduce__ would also corrupt pickling on older Pythons.
+        if name.startswith("__") or name == "dataset":
+            raise AttributeError(name)
         return getattr(self.dataset, name)

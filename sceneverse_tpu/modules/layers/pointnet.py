@@ -153,7 +153,8 @@ class PointnetSAModule(nnx.Module):
         # run the MLP as flattened (B*N, C) bf16 matmuls. The generic path
         # leaves a (B, 1, N, C) layout whose BatchNorm/dtype round trips cost
         # ~5x the matmul time at GPS scale (measured 9.0 -> ~2 ms at G=10240).
-        if (self.npoint is None and getattr(self, "fused_frozen", False)):
+        if (self.npoint is None and self.use_pallas
+                and getattr(self, "fused_frozen", False)):
             from sceneverse_tpu.ops.pallas.sa_forward import fold_shared_mlp
 
             g = (
@@ -363,6 +364,11 @@ class PointnetSAModuleVotes(nnx.Module):
         self.pooling = pooling
         self.use_xyz = use_xyz
         self.sample_uniformly = sample_uniformly
+        # fresh resampling draws per forward (reference torch.randint each
+        # call, pointnet2_utils.py:340); the nnx stream threads through the
+        # train state so every step draws new pad-slot fills
+        self.resample_rngs = nnx.Rngs(rngs.default()) if sample_uniformly \
+            else None
         self.ret_unique_cnt = ret_unique_cnt
         self.sigma = sigma if sigma is not None else (
             radius / 2 if radius is not None else None)
@@ -380,6 +386,8 @@ class PointnetSAModuleVotes(nnx.Module):
             assert inds.shape[1] == self.npoint
         new_xyz = gather_points(xyz, inds) if self.npoint is not None else None
 
+        if key is None and self.sample_uniformly:
+            key = self.resample_rngs.default()
         if self.npoint is not None:
             grouped, grouped_xyz = _query_group(
                 xyz, new_xyz, features, self.radius, self.nsample,

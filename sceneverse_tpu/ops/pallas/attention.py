@@ -88,13 +88,19 @@ def masked_mha(q, k, v, key_pad_mask=None, ab=None, *, sm_scale: float):
                      ((0, 0), (0, 0), (0, pq), (0, pk)))
 
     Lqp, Lkp = Lq + pq, Lk + pk
+
+    def blk(L):  # largest power-of-two block <= 512 that divides L
+        for b in (512, 256, 128):
+            if L % b == 0:
+                return b
+        raise AssertionError(f"padded length {L} not a multiple of 128")
+
+    bq, bk = blk(Lqp), blk(Lkp)
     bs = BlockSizes(
-        block_q=min(512, Lqp), block_k_major=min(512, Lkp),
-        block_k=min(512, Lkp), block_b=1,
-        block_q_major_dkv=min(512, Lqp), block_k_major_dkv=min(512, Lkp),
-        block_k_dkv=min(512, Lkp), block_q_dkv=min(512, Lqp),
-        block_k_major_dq=min(512, Lkp), block_k_dq=min(512, Lkp),
-        block_q_dq=min(512, Lqp),
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
     )
     out = flash_attention(
         qp.astype(jnp.bfloat16), kp.astype(jnp.bfloat16),

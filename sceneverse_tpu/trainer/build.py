@@ -30,7 +30,11 @@ from sceneverse_tpu.data import build_dataloader
 from sceneverse_tpu.evaluator.build import build_eval
 from sceneverse_tpu.model.build import build_model
 from sceneverse_tpu.optim.build import build_optim
-from sceneverse_tpu.parallel.mesh import get_mesh, shard_batch
+from sceneverse_tpu.parallel.mesh import (
+    mesh_from_cfg,
+    shard_batch,
+    shard_module,
+)
 from sceneverse_tpu.registry import Registry
 from sceneverse_tpu.utils.logger import MetricsLogger
 
@@ -120,15 +124,9 @@ class BaseTrainer:
         self.mode = cfg.get("mode", "train")
         self.exp_tracker = Tracker(cfg)
         self.logger = MetricsLogger(cfg, self.exp_tracker.exp_name)
-        # dp width: min(available devices, cfg.num_gpu, batch divisibility)
-        import jax
-
-        n_dev = len(jax.devices())
-        dp = min(n_dev, int(cfg.get("num_gpu", n_dev)) or n_dev)
-        batch = int(cfg.dataloader.batchsize)
-        while dp > 1 and batch % dp != 0:
-            dp -= 1
-        self.mesh = get_mesh(num_devices=dp)
+        # ('dp', 'mp') mesh resolved from config + hardware — the same code
+        # path dryrun_multichip exercises (parallel/mesh.py)
+        self.mesh = mesh_from_cfg(cfg)
 
         from sceneverse_tpu.utils.profiling import setup_from_config
 
@@ -166,6 +164,11 @@ class BaseTrainer:
         if accum > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=accum)
         self.optimizer = nnx.Optimizer(self.model, tx, wrt=nnx.Param)
+        if self.mesh.devices.size > 1:
+            # replicate params / vocab-shard the LM heads over 'mp' per
+            # parallel/mesh.py — the dryrun exercises this exact placement
+            shard_module(self.model, self.mesh)
+            shard_module(self.optimizer, self.mesh)
         self.epochs = cfg.solver.epochs
         self.grad_norm = cfg.solver.get("grad_norm")
 
