@@ -41,6 +41,39 @@ class _OpenVocabBase(BaseModel):
         for head in self.head_list:
             setattr(self, head, build_module("heads", cfg.model.heads[head], rngs=rngs))
         self.inter = cfg.model.get("inter", "")
+        # rematerialization (jax.checkpoint via nnx.remat): drop the towers'
+        # internal activations in the forward and recompute them in the
+        # backward — trades tower FLOPs for activation memory, buying
+        # headroom for larger per-chip batches / models (measured: batch 256
+        # fits on a 16 GB v5e with remat, OOMs without).
+        # cfg.model.remat: true = the TRAINABLE towers {language, grounding}
+        # — rematerializing `vision` re-runs the frozen PointNet++ backbone
+        # (the most expensive forward in the model, and gradient-free) in
+        # every backward, which measured ~2x step time; include "vision" in
+        # an explicit list only when its activations are what OOMs.
+        # No reference analog (torch keeps all activations); equivalent up
+        # to float reassociation (the checkpoint boundary changes XLA
+        # fusion choices).
+        remat = cfg.model.get("remat", None)
+        if remat is True:
+            self.remat = {"language", "grounding"}
+        else:
+            self.remat = set(remat or [])
+
+    def _lang(self, *args):
+        if "language" in self.remat:
+            return nnx.remat(lambda m, *a: m(*a))(self.lang_encoder, *args)
+        return self.lang_encoder(*args)
+
+    def _vision(self, *args):
+        if "vision" in self.remat:
+            return nnx.remat(lambda m, *a: m(*a))(self.point_encoder, *args)
+        return self.point_encoder(*args)
+
+    def _fuse(self, *args):
+        if "grounding" in self.remat:
+            return nnx.remat(lambda m, *a: m(*a))(self.unified_encoder, *args)
+        return self.unified_encoder(*args)
 
     def get_opt_params(self):
         lr = self.cfg.solver.lr
@@ -109,16 +142,16 @@ class OpenVocab(_OpenVocabBase):
                 return jnp.pad(x, ((0, 0), (0, M - x.shape[1])),
                                constant_values=mode_val)
 
-            feats = self.lang_encoder(
+            feats = self._lang(
                 jnp.concatenate([pad(txt_ids), pad(sc_ids)], axis=0),
                 jnp.concatenate([pad(txt_masks), pad(sc_masks)], axis=0),
             )
             lang_feats = feats[:B, :L]
             out["scene_text_embed"] = feats[B:, 0]
         else:
-            lang_feats = self.lang_encoder(data_dict["txt_ids"], data_dict["txt_masks"])
+            lang_feats = self._lang(data_dict["txt_ids"], data_dict["txt_masks"])
 
-        point_feats, point_pre, obj_cls_raw_logits = self.point_encoder(
+        point_feats, point_pre, obj_cls_raw_logits = self._vision(
             data_dict["obj_fts"].astype(jnp.float32),
             data_dict["obj_locs"],
             data_dict["obj_masks"],
@@ -133,7 +166,7 @@ class OpenVocab(_OpenVocabBase):
             out["inter_text_embed"] = lang_feats[:, 0]
             out["inter_obj_embeds"] = point_feats
 
-        language_fuse, point_fuse = self.unified_encoder(
+        language_fuse, point_fuse = self._fuse(
             lang_feats, data_dict["txt_masks"], point_feats,
             data_dict["obj_locs"], data_dict["obj_masks"],
         )
@@ -162,8 +195,8 @@ class OpenVocabPerScene(_OpenVocabBase):
             txt_ids = txt_ids.reshape(B * L, -1)
             txt_masks = txt_masks.reshape(B * L, -1)
 
-        lang_feats = self.lang_encoder(txt_ids, txt_masks)
-        point_feats, point_pre, obj_cls_raw_logits = self.point_encoder(
+        lang_feats = self._lang(txt_ids, txt_masks)
+        point_feats, point_pre, obj_cls_raw_logits = self._vision(
             data_dict["obj_fts"].astype(jnp.float32),
             data_dict["obj_locs"],
             data_dict["obj_masks"],
@@ -190,7 +223,7 @@ class OpenVocabPerScene(_OpenVocabBase):
             out["inter_text_embed"] = lang_feats[:, 0]
             out["inter_obj_embeds"] = point_feats
 
-        language_fuse, point_fuse = self.unified_encoder(
+        language_fuse, point_fuse = self._fuse(
             lang_feats, txt_masks, point_feats, obj_locs, obj_masks
         )
         if self.inter != "before":

@@ -249,3 +249,42 @@ def test_build_optim_groups_and_freeze():
     assert frozen_all_zero, "frozen backbone received updates"
     assert some_nonzero, "lang encoder got no updates"
     assert float(schedule(0)) == 0.0 and float(schedule(5)) == 1.0
+
+
+def test_remat_towers_exact_equivalence():
+    """cfg.model.remat wraps the towers in nnx.remat (jax.checkpoint):
+    losses and grads must match the non-remat model to float-reassociation
+    tolerance (the checkpoint boundary changes XLA fusion decisions, so
+    bit-exactness is not guaranteed, but remat never approximates)."""
+    import jax
+    from __graft_entry__ import _gps_batch, _gps_cfg
+    from sceneverse_tpu.optim.build import build_optim
+
+    batch = _gps_batch(2, 6, 64, 8, cap_len=8)
+
+    def run(remat):
+        cfg = _gps_cfg(hidden=48, layers=1, num_obj=6, num_points=64,
+                       seq_len=8, vocab=128)
+        cfg.model.language.args.num_attention_heads = 4
+        cfg.model.vision.args.num_attention_heads = 4
+        cfg.model.grounding.args.num_attention_heads = 4
+        if remat:
+            cfg.model.remat = True
+        model = build_model(cfg, rngs=nnx.Rngs(7))
+        model.train()
+        loss_mod, _, _, _ = build_optim(cfg, model, total_steps=10)
+
+        def loss_fn(model):
+            total, _ = loss_mod(model(dict(batch)))
+            return total
+
+        total, grads = nnx.value_and_grad(loss_fn)(model)
+        return float(total), jax.tree_util.tree_leaves(nnx.to_pure_dict(grads))
+
+    t0, g0 = run(False)
+    t1, g1 = run(True)
+    np.testing.assert_allclose(t0, t1, rtol=1e-5)
+    assert len(g0) == len(g1)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
