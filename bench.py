@@ -53,9 +53,9 @@ def main(bf16: bool = True):
     from __graft_entry__ import _gps_batch, _gps_cfg
 
     cfg = _gps_cfg()
-    remat_env = os.environ.get("SCENEVERSE_BENCH_REMAT")
+    remat_env = os.environ.get("SCENEVERSE_BENCH_REMAT", "").lower()
     if remat_env:  # "1" -> trainable towers; or a comma list of towers
-        cfg.model.remat = (True if remat_env in ("1", "true", "on")
+        cfg.model.remat = (True if remat_env in ("1", "true", "on", "yes")
                            else remat_env.split(","))
     model = build_model(cfg, rngs=nnx.Rngs(0))
     model.train()

@@ -57,23 +57,28 @@ class _OpenVocabBase(BaseModel):
         remat = cfg.model.get("remat", None)
         if remat is True:
             self.remat = {"language", "grounding"}
+        elif isinstance(remat, str):  # bare CLI override, e.g. model.remat=vision
+            self.remat = {remat}
         else:
             self.remat = set(remat or [])
+        unknown = self.remat - {"language", "vision", "grounding"}
+        if unknown:
+            raise ValueError(f"model.remat: unknown towers {sorted(unknown)}; "
+                             "valid: language, vision, grounding")
+
+    def _tower(self, name, module, *args):
+        if name in self.remat:
+            return nnx.remat(lambda m, *a: m(*a))(module, *args)
+        return module(*args)
 
     def _lang(self, *args):
-        if "language" in self.remat:
-            return nnx.remat(lambda m, *a: m(*a))(self.lang_encoder, *args)
-        return self.lang_encoder(*args)
+        return self._tower("language", self.lang_encoder, *args)
 
     def _vision(self, *args):
-        if "vision" in self.remat:
-            return nnx.remat(lambda m, *a: m(*a))(self.point_encoder, *args)
-        return self.point_encoder(*args)
+        return self._tower("vision", self.point_encoder, *args)
 
     def _fuse(self, *args):
-        if "grounding" in self.remat:
-            return nnx.remat(lambda m, *a: m(*a))(self.unified_encoder, *args)
-        return self.unified_encoder(*args)
+        return self._tower("grounding", self.unified_encoder, *args)
 
     def get_opt_params(self):
         lr = self.cfg.solver.lr

@@ -164,11 +164,6 @@ class BaseTrainer:
         if accum > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=accum)
         self.optimizer = nnx.Optimizer(self.model, tx, wrt=nnx.Param)
-        if self.mesh.devices.size > 1:
-            # replicate params / vocab-shard the LM heads over 'mp' per
-            # parallel/mesh.py — the dryrun exercises this exact placement
-            shard_module(self.model, self.mesh)
-            shard_module(self.optimizer, self.mesh)
         self.epochs = cfg.solver.epochs
         self.grad_norm = cfg.solver.get("grad_norm")
 
@@ -189,6 +184,15 @@ class BaseTrainer:
         )
         if cfg.get("resume", False):
             self.resume()
+
+        # mesh placement LAST: pretrain/resume loading rebuilds params as
+        # host/default-device arrays, which would silently drop an earlier
+        # placement (the vocab-sharded 'mp' LM head in particular)
+        if self.mesh.devices.size > 1:
+            # replicate params / vocab-shard the LM heads over 'mp' per
+            # parallel/mesh.py — the dryrun exercises this exact placement
+            shard_module(self.model, self.mesh)
+            shard_module(self.optimizer, self.mesh)
 
         self._compiled_train_step = None
         self._train_step_metrics = None
