@@ -74,20 +74,70 @@ def get_dataset(cfg, split="train"):
     return datasets
 
 
+def shm_collate(items: list) -> dict:
+    """numpy_collate + torch-tensor wrapping of the array fields.
+
+    With num_workers > 0 the collated batch crosses the worker->main process
+    boundary; plain numpy arrays go through pickle pipes (~126 MB per GPS
+    batch — measured SLOWER than single-process loading), while torch
+    tensors ride torch's shared-memory transport. Measured on the GPS
+    fixture: 159 -> 415 scenes/s at 8 workers. Consumers convert back with
+    np.asarray (zero-copy)."""
+    import torch
+
+    out = numpy_collate(items)
+    return {
+        k: (torch.from_numpy(np.ascontiguousarray(v))
+            if isinstance(v, np.ndarray) and v.dtype != object else v)
+        for k, v in out.items()
+    }
+
+
+class _NumpyBatches:
+    """Main-process view of a DataLoader that yields numpy batches.
+
+    np.asarray on a CPU torch tensor is zero-copy, so this costs nothing;
+    it keeps every downstream consumer (trainer packing, shard_batch,
+    evaluator jnp math) on the numpy contract regardless of the
+    shared-memory collate used in the workers."""
+
+    def __init__(self, loader):
+        self.loader = loader
+
+    def __iter__(self):
+        import numpy as _np
+
+        for batch in self.loader:
+            yield {
+                k: _np.asarray(v) if hasattr(v, "numpy") else v
+                for k, v in batch.items()
+            }
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __getattr__(self, name):
+        if name.startswith("__") or name == "loader":
+            raise AttributeError(name)
+        return getattr(self.loader, name)
+
+
 def _make_loader(dataset, cfg, shuffle, drop_last):
     from torch.utils.data import DataLoader
 
-    return DataLoader(
+    workers = int(cfg.dataloader.get("num_workers", 0))
+    loader = DataLoader(
         dataset,
         batch_size=int(cfg.dataloader.batchsize),
-        num_workers=int(cfg.dataloader.get("num_workers", 0)),
-        collate_fn=numpy_collate,
+        num_workers=workers,
+        collate_fn=shm_collate if workers > 0 else numpy_collate,
         pin_memory=False,
         shuffle=shuffle,
         drop_last=drop_last,
-        persistent_workers=int(cfg.dataloader.get("num_workers", 0)) > 0,
+        persistent_workers=workers > 0,
         generator=_seeded_generator(cfg),
     )
+    return _NumpyBatches(loader) if workers > 0 else loader
 
 
 def _seeded_generator(cfg):

@@ -196,3 +196,22 @@ def test_getitem_finalrefer_path(data_root):
     assert "scene_txt_ids" in out and out["scene_txt_ids"].shape[0] == ds.max_scene_cap_len
     assert out["tgt_object_id"].ndim == 0 or np.isscalar(out["tgt_object_id"]) or True
     assert out["obj_fts"].shape[0] == out["obj_locs"].shape[0]
+
+
+def test_multiworker_loader_matches_single_process(data_root):
+    """num_workers > 0 routes through the shared-memory torch collate +
+    numpy view (data/build.py shm_collate/_NumpyBatches): batches must be
+    numpy and bit-identical to the single-process loader (val split:
+    deterministic items, no shuffle)."""
+    cfg = base_cfg(data_root)
+    b0 = next(iter(build_dataloader(cfg, split="val")))
+    cfg2 = base_cfg(data_root)
+    cfg2.dataloader.num_workers = 2
+    loader2 = build_dataloader(cfg2, split="val")
+    b2 = next(iter(loader2))
+    assert set(b0) == set(b2)
+    for k, v in b0.items():
+        if isinstance(v, np.ndarray):
+            assert isinstance(b2[k], np.ndarray), k
+            np.testing.assert_array_equal(v, b2[k], err_msg=k)
+    assert len(loader2) == len(build_dataloader(cfg, split="val"))
