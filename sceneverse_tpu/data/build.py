@@ -136,6 +136,10 @@ def _make_loader(dataset, cfg, shuffle, drop_last):
         drop_last=drop_last,
         persistent_workers=workers > 0,
         generator=_seeded_generator(cfg),
+        # fork is unsafe in a JAX (multithreaded) process — deadlock risk
+        # flagged by jax itself; spawn costs a one-time worker start that
+        # persistent_workers amortizes
+        multiprocessing_context="spawn" if workers > 0 else None,
     )
     return _NumpyBatches(loader) if workers > 0 else loader
 

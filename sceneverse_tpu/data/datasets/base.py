@@ -120,10 +120,13 @@ class ScanBase:
     # ------------------------------------------------------------------ RNG
     def _rng(self, index):
         """Train: shared RNG (epoch-varying augmentation); eval: per-item
-        seeded so metrics are deterministic."""
+        seeded so metrics are deterministic. The seed mix must be stable
+        ACROSS PROCESSES (hash() of a str is salted per interpreter, which
+        made eval subsampling differ between runs and between spawn-context
+        DataLoader workers and the main process)."""
         if self.split == "train":
             return np.random
-        return np.random.RandomState(hash(("eval", index)) % (2**31))
+        return np.random.RandomState((index * 2654435761 + 0x9E37) % (2**31))
 
     # ---------------------------------------------------------------- loading
     def _load_split(self, split):

@@ -98,5 +98,10 @@ for prefix, (base_key, source) in _FAMILIES.items():
     for kind, base_cls in (("PretrainObj", _PretrainObjBase),
                            ("SpatialRefer", _SpatialReferBase)):
         name = f"{prefix}{kind}"
-        cls = type(name, (base_cls,), {"BASE_DIR_KEY": base_key, "SOURCE": source})
+        cls = type(name, (base_cls,), {"BASE_DIR_KEY": base_key,
+                                       "SOURCE": source,
+                                       "__module__": __name__})
+        # bind as a module attribute so instances pickle (spawn-context
+        # DataLoader workers serialize the dataset object)
+        globals()[name] = cls
         DATASET_REGISTRY.register(cls, name=name)
