@@ -18,7 +18,12 @@ os.environ.setdefault("SCENEVERSE_PALLAS_FAST", "1")
 import jax  # noqa: E402
 
 JOBS = Path("/tmp/tpu_jobs")
-JOBS.mkdir(exist_ok=True)
+JOBS.mkdir(exist_ok=True, mode=0o700)
+# /tmp is world-writable: refuse to serve a directory someone else created,
+# and (below) refuse to exec job files not owned by this user.
+if JOBS.stat().st_uid != os.getuid():
+    raise SystemExit(f"{JOBS} is owned by uid {JOBS.stat().st_uid}, not us")
+os.chmod(JOBS, 0o700)
 
 print("warming device...", flush=True)
 import jax.numpy as jnp  # noqa: E402
@@ -33,7 +38,9 @@ while True:
         stop.unlink()
         print("stopping", flush=True)
         break
-    jobs = sorted(JOBS.glob("*.py"), key=lambda p: p.stat().st_mtime)
+    jobs = sorted((p for p in JOBS.glob("*.py")
+                   if p.stat().st_uid == os.getuid()),
+                  key=lambda p: p.stat().st_mtime)
     if not jobs:
         time.sleep(0.5)
         continue

@@ -86,11 +86,13 @@ def shard_batch(batch: dict, mesh: Mesh, axis: int = 0) -> dict:
     dp = mesh.shape.get("dp", mesh.devices.size)
 
     def place(x):
-        if isinstance(x, jax.Array) and x.committed:
-            return x  # already device-resident (e.g. a cached bench batch)
         if hasattr(x, "ndim"):
             sharded = x.ndim > axis and x.shape[axis] % dp == 0
-            return jax.device_put(x, bs if sharded else rep)
+            target = bs if sharded else rep
+            if isinstance(x, jax.Array) and x.committed and \
+                    x.sharding.is_equivalent_to(target, x.ndim):
+                return x  # already correctly placed (e.g. cached bench batch)
+            return jax.device_put(x, target)
         return x
 
     return {k: place(v) for k, v in batch.items()}

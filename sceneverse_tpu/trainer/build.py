@@ -60,6 +60,11 @@ def _pack_host(arrays: dict):
         elif np.issubdtype(a.dtype, np.floating):
             a, kind = a.astype(np.float32), "f32"
         else:
+            if a.dtype != np.int32 and a.size and (
+                    a.max() >= 2 ** 31 or a.min() < -2 ** 31):
+                raise OverflowError(
+                    f"batch key {k!r} has values outside int32 range; "
+                    "packed transfer would wrap silently")
             a = a.astype(np.int32)
         # a tiny minor dim would tile-pad to 128 lanes when the unpacked
         # array materializes on device (a 21x HBM blowup for (...,1024,6)
@@ -461,7 +466,8 @@ class BaseTrainer:
         # (device_get of N tiny arrays costs N round trips on remote runtimes).
         # Entries are (step, {key: scalar}) from the single-step path or
         # (first_step, {key: (K,) array}, K) from the steps-per-dispatch path.
-        keys = list(pending[0][1].keys())
+        keys = list(dict.fromkeys(
+            key for entry in pending for key in entry[1]))
         steps, mats = [], []
         for entry in pending:
             if len(entry) == 3:
