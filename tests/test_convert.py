@@ -52,6 +52,79 @@ def test_hf_bert_roundtrip_forward_parity():
     np.testing.assert_allclose(got[:, :6], want[:, :6], rtol=2e-4, atol=2e-5)
 
 
+def test_hf_clip_text_roundtrip_forward_parity():
+    """Real CLIP text architecture (causal mask, quickGELU, EOS pooling,
+    text_projection) converts from the HF tree and matches forward output
+    (VERDICT r2 item 4; reference modules/language/clip.py:11-28)."""
+    import torch
+    from transformers import (CLIPTextConfig as HFCLIPTextConfig,
+                              CLIPTextModelWithProjection as HFCLIPText)
+
+    hf_cfg = HFCLIPTextConfig(
+        vocab_size=99, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=16, projection_dim=24,
+        eos_token_id=98, bos_token_id=97, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = HFCLIPText(hf_cfg)
+    hf.eval()
+
+    from sceneverse_tpu.modules.language.clip import (
+        CLIPTextConfig, CLIPTextModelWithProjection)
+
+    ours = CLIPTextModelWithProjection(
+        CLIPTextConfig(vocab_size=99, hidden_size=32, num_hidden_layers=2,
+                       num_attention_heads=4, intermediate_size=64,
+                       max_position_embeddings=16, projection_dim=24,
+                       eos_token_id=98),
+        rngs=nnx.Rngs(0))
+    ours.eval()
+
+    converted = convert_torch_state_dict(dict(hf.state_dict()))
+    loaded, missing, unexpected = apply_to_model(ours, converted)
+    assert not missing, missing
+    assert not unexpected, unexpected
+    assert loaded == len(converted)
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 97, (2, 10))
+    ids[0, 7] = 98
+    ids[1, 9] = 98
+    mask = np.ones((2, 10), np.int64)
+    mask[0, 8:] = 0
+    with torch.no_grad():
+        out = hf(torch.tensor(ids), torch.tensor(mask))
+    last, embeds = ours(jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(
+        np.asarray(last), out.last_hidden_state.numpy(), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(embeds), out.text_embeds.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_clip_language_encoder_contract():
+    """Registered encoder: per-token projection + L2 norm + stop_gradient,
+    matching the reference forward (reference modules/language/clip.py:22-27)."""
+    from sceneverse_tpu.modules.language.clip import (
+        CLIPLanguageEncoder, CLIPTextConfig)
+
+    enc = CLIPLanguageEncoder(output_dim=24, num_hidden_layers=2, rngs=nnx.Rngs(0))
+    # shrink for test speed
+    small = CLIPTextConfig(vocab_size=99, hidden_size=32, num_hidden_layers=2,
+                           num_attention_heads=4, intermediate_size=64,
+                           max_position_embeddings=16, projection_dim=24,
+                           eos_token_id=98)
+    from sceneverse_tpu.modules.language.clip import CLIPTextModelWithProjection
+    enc.model = CLIPTextModelWithProjection(small, rngs=nnx.Rngs(0))
+    enc.eval()
+    ids = np.random.RandomState(1).randint(1, 97, (2, 10))
+    mask = np.ones((2, 10), np.int64)
+    out = enc(jnp.asarray(ids), jnp.asarray(mask))
+    assert out.shape == (2, 10, 24)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out), axis=2), 1.0, rtol=1e-5)
+
+
 def test_torch_encoder_layer_conversion():
     """A torch module tree shaped like the reference TransformerEncoderLayer
     converts and matches forward output."""
