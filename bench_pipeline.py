@@ -164,6 +164,32 @@ def bench_collate(cfg, steps=6):
     return batch, rate
 
 
+def bench_materialized(cfg, steps=10, n_threads=1):
+    """Fused materialized batch assembly (data/materialized.py) — the
+    production train feed path."""
+    from sceneverse_tpu.config import Config
+    from sceneverse_tpu.data.materialized import (
+        MaterializedBatchLoader, ensure_materialized)
+
+    cfg = Config(cfg.to_dict())
+    cfg.data.args["materialized"] = "fast"
+    store = ensure_materialized(cfg, "ScanNetSpatialRefer", "train")
+    loader = MaterializedBatchLoader(cfg, [store], n_threads=n_threads)
+    it = iter(loader)
+    batch = next(it)  # warm (faults the mmap pages)
+    n, t0 = 0, time.perf_counter()
+    for _ in range(steps):
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(loader)
+            batch = next(it)
+        n += batch["obj_fts"].shape[0]
+    rate = n / (time.perf_counter() - t0)
+    emit("materialized_feed_scenes_per_sec", rate, threads=n_threads)
+    return batch, rate
+
+
 def bench_h2d(batch, mesh, iters=4):
     import jax
 
@@ -238,6 +264,7 @@ def main():
 
     mesh = mesh_from_cfg(cfg)
     bench_item_build(cfg)
+    bench_materialized(cfg, n_threads=max(1, args.workers))
     batch, _ = bench_collate(cfg)
     arrays = {k: v for k, v in batch.items() if hasattr(v, "ndim")}
     bench_h2d(batch, mesh)

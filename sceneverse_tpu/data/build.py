@@ -63,7 +63,19 @@ def get_dataset(cfg, split="train"):
     wrapper_name = cfg.data_wrapper[split] if "data_wrapper" in cfg else None
 
     def build_one(name):
-        ds = DATASET_REGISTRY.get(name)(cfg, split)
+        if cfg.data.args.get("materialized", False):
+            # offline-materialized store-backed datasets (data/materialized.py)
+            from sceneverse_tpu.data.materialized import (
+                MaterializedPretrainObj, MaterializedSpatialRefer)
+
+            if name.endswith("SpatialRefer"):
+                ds = MaterializedSpatialRefer(cfg, split, name=name)
+            elif name.endswith("PretrainObj"):
+                ds = MaterializedPretrainObj(cfg, split, name=name)
+            else:
+                ds = DATASET_REGISTRY.get(name)(cfg, split)
+        else:
+            ds = DATASET_REGISTRY.get(name)(cfg, split)
         if wrapper_name:
             ds = DATASETWRAPPER_REGISTRY.get(wrapper_name)(cfg, ds)
         return ds
@@ -160,6 +172,12 @@ def build_dataloader(cfg, split="train"):
     accelerator.prepare unpacking)."""
     import jax
 
+    if split == "train" and cfg.data.args.get("materialized") == "fast":
+        # fused dataset+wrapper+collate batch assembly (data/materialized.py)
+        from sceneverse_tpu.data.materialized import (
+            build_materialized_train_loader)
+
+        return build_materialized_train_loader(cfg)
     dataset = get_dataset(cfg, split)
     if split == "train":
         return _make_loader(dataset, cfg, shuffle=True, drop_last=True)

@@ -31,7 +31,7 @@ def _build() -> Path | None:
         return out
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
              "-o", str(out), str(src)],
             check=True, capture_output=True, timeout=120,
         )
@@ -62,8 +62,91 @@ def get_lib():
         ctypes.POINTER(ctypes.c_float),   # out_boxes
     ]
     lib.obj_processing_post.restype = None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.assemble_objects.argtypes = [
+        fp,                 # pts store
+        i64p, i64p, i64p,   # off, cnt, slots
+        ctypes.c_int64,     # n_sel
+        ctypes.c_int64,     # C
+        ctypes.c_int64,     # num_points
+        fp,                 # rots (n_sel, 9) or None
+        ctypes.c_uint64,    # seed
+        ctypes.c_int64,     # n_threads
+        fp, fp, fp,         # out_fts, out_locs, out_boxes
+    ]
+    lib.assemble_objects.restype = None
+    lib.sample_objects.argtypes = [
+        fp, i64p, i64p, i64p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        fp, ctypes.c_uint64, ctypes.c_int64, fp,
+    ]
+    lib.sample_objects.restype = None
     _LIB = lib
     return _LIB
+
+
+def sample_objects_native(pts, off, cnt, slots, num_points, out_fts,
+                          rots=None, seed=0, n_threads=1):
+    """assemble_objects_native minus the full-cloud stats pass — locs/boxes
+    come from offline per-object stats (data/materialized.py fast path)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native batchops library unavailable (no g++?)")
+    fp = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    assert pts.dtype == np.float32 and pts.flags.c_contiguous
+    assert out_fts.dtype == np.float32 and out_fts.flags.c_contiguous
+    off = np.ascontiguousarray(off, np.int64)
+    cnt = np.ascontiguousarray(cnt, np.int64)
+    slots = np.ascontiguousarray(slots, np.int64)
+    rot_ptr = None
+    if rots is not None:
+        rots = np.ascontiguousarray(rots, np.float32)
+        assert rots.shape == (len(off), 9)
+        rot_ptr = rots.ctypes.data_as(fp)
+    lib.sample_objects(
+        pts.ctypes.data_as(fp),
+        off.ctypes.data_as(i64p), cnt.ctypes.data_as(i64p),
+        slots.ctypes.data_as(i64p), len(off), pts.shape[1], num_points,
+        rot_ptr, int(seed), int(n_threads),
+        out_fts.ctypes.data_as(fp),
+    )
+
+
+def assemble_objects_native(pts, off, cnt, slots, num_points, out_fts,
+                            out_locs, out_boxes, rots=None, seed=0,
+                            n_threads=1):
+    """Scatter-assemble selected ragged objects from a flat (N, C) float32
+    point store directly into preallocated batch buffers (the materialized
+    input pipeline's hot op — see data/materialized.py). ``off``/``cnt`` are
+    per-object start row / row count, ``slots`` the destination rows in
+    ``out_fts`` (n_slots, P, C); untouched slots keep their prefill padding.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native batchops library unavailable (no g++?)")
+    fp = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    assert pts.dtype == np.float32 and pts.flags.c_contiguous
+    assert out_fts.dtype == np.float32 and out_fts.flags.c_contiguous
+    off = np.ascontiguousarray(off, np.int64)
+    cnt = np.ascontiguousarray(cnt, np.int64)
+    slots = np.ascontiguousarray(slots, np.int64)
+    rot_ptr = None
+    if rots is not None:
+        rots = np.ascontiguousarray(rots, np.float32)
+        assert rots.shape == (len(off), 9)
+        rot_ptr = rots.ctypes.data_as(fp)
+    lib.assemble_objects(
+        pts.ctypes.data_as(fp),
+        off.ctypes.data_as(i64p), cnt.ctypes.data_as(i64p),
+        slots.ctypes.data_as(i64p), len(off), pts.shape[1], num_points,
+        rot_ptr, int(seed), int(n_threads),
+        out_fts.ctypes.data_as(fp),
+        out_locs.ctypes.data_as(fp),
+        out_boxes.ctypes.data_as(fp),
+    )
 
 
 def obj_processing_post_native(obj_pcds, num_points, rot=None, seed=0):

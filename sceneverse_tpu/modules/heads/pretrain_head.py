@@ -18,7 +18,7 @@ class BertPredictionHeadTransform(nnx.Module):
             hidden_size, hidden_size, kernel_init=bert_linear_kernel_init,
             bias_init=zeros_init, rngs=rngs,
         )
-        self.LayerNorm = nnx.LayerNorm(hidden_size, rngs=rngs)
+        self.LayerNorm = nnx.LayerNorm(hidden_size, epsilon=1e-5, rngs=rngs)
 
     def __call__(self, x):
         return self.LayerNorm(jax.nn.gelu(self.dense(x), approximate=False))

@@ -61,7 +61,7 @@ class QAHeadV1(nnx.Module):
         self.answer_fc1 = _linear(flat_out_size, hidden_size, rngs)
         self.answer_dropout = nnx.Dropout(0.3, rngs=rngs)
         self.answer_fc2 = _linear(hidden_size, num_answers, rngs)
-        self.fusion_norm = nnx.LayerNorm(flat_out_size, rngs=rngs)
+        self.fusion_norm = nnx.LayerNorm(flat_out_size, epsilon=1e-5, rngs=rngs)
 
     def __call__(self, obj_embeds, obj_masks, txt_embeds, txt_masks, **kwargs):
         object_feat = self.attflat_visual(obj_embeds, ~obj_masks.astype(bool))

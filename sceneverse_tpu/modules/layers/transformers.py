@@ -144,9 +144,9 @@ class CrossAttentionLayer(nnx.Module):
         self.linear1 = _linear(d_model, dim_feedforward, rngs)
         self.dropout = nnx.Dropout(dropout, rngs=rngs)
         self.linear2 = _linear(dim_feedforward, d_model, rngs)
-        self.norm1 = nnx.LayerNorm(d_model, rngs=rngs)
-        self.norm2 = nnx.LayerNorm(d_model, rngs=rngs)
-        self.norm3 = nnx.LayerNorm(d_model, rngs=rngs)
+        self.norm1 = nnx.LayerNorm(d_model, epsilon=1e-5, rngs=rngs)
+        self.norm2 = nnx.LayerNorm(d_model, epsilon=1e-5, rngs=rngs)
+        self.norm3 = nnx.LayerNorm(d_model, epsilon=1e-5, rngs=rngs)
         self.dropout1 = nnx.Dropout(dropout, rngs=rngs)
         self.dropout2 = nnx.Dropout(dropout, rngs=rngs)
         self.dropout3 = nnx.Dropout(dropout, rngs=rngs)
@@ -183,9 +183,9 @@ class TransformerDecoderLayer(nnx.Module):
         self.linear1 = _linear(d_model, dim_feedforward, rngs)
         self.dropout = nnx.Dropout(dropout, rngs=rngs)
         self.linear2 = _linear(dim_feedforward, d_model, rngs)
-        self.norm1 = nnx.LayerNorm(d_model, rngs=rngs)
-        self.norm2 = nnx.LayerNorm(d_model, rngs=rngs)
-        self.norm3 = nnx.LayerNorm(d_model, rngs=rngs)
+        self.norm1 = nnx.LayerNorm(d_model, epsilon=1e-5, rngs=rngs)
+        self.norm2 = nnx.LayerNorm(d_model, epsilon=1e-5, rngs=rngs)
+        self.norm3 = nnx.LayerNorm(d_model, epsilon=1e-5, rngs=rngs)
         self.dropout1 = nnx.Dropout(dropout, rngs=rngs)
         self.dropout2 = nnx.Dropout(dropout, rngs=rngs)
         self.dropout3 = nnx.Dropout(dropout, rngs=rngs)
@@ -218,8 +218,8 @@ class TransformerEncoderLayer(nnx.Module):
         self.linear1 = _linear(d_model, dim_feedforward, rngs)
         self.dropout = nnx.Dropout(dropout, rngs=rngs)
         self.linear2 = _linear(dim_feedforward, d_model, rngs)
-        self.norm1 = nnx.LayerNorm(d_model, rngs=rngs)
-        self.norm2 = nnx.LayerNorm(d_model, rngs=rngs)
+        self.norm1 = nnx.LayerNorm(d_model, epsilon=1e-5, rngs=rngs)
+        self.norm2 = nnx.LayerNorm(d_model, epsilon=1e-5, rngs=rngs)
         self.dropout1 = nnx.Dropout(dropout, rngs=rngs)
         self.dropout2 = nnx.Dropout(dropout, rngs=rngs)
         self.activation = get_activation_fn(activation)

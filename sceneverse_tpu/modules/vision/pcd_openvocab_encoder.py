@@ -60,7 +60,7 @@ class LocLayer(nnx.Module):
             dim_loc, hidden_size, kernel_init=bert_linear_kernel_init,
             bias_init=zeros_init, rngs=rngs,
         )
-        self.norm = nnx.LayerNorm(hidden_size, rngs=rngs)
+        self.norm = nnx.LayerNorm(hidden_size, epsilon=1e-5, rngs=rngs)
 
     def __call__(self, x):
         return self.norm(self.linear(x))
@@ -106,7 +106,7 @@ class PointOpenVocabEncoder(nnx.Module):
             hidden_size, hidden_size, kernel_init=bert_linear_kernel_init,
             bias_init=zeros_init, rngs=rngs,
         )
-        self.sem_cls_embed_layer_norm = nnx.LayerNorm(hidden_size, rngs=rngs)
+        self.sem_cls_embed_layer_norm = nnx.LayerNorm(hidden_size, epsilon=1e-5, rngs=rngs)
         self.use_matmul_label = use_matmul_label
         self.sem_mask_embeddings = nnx.Embed(
             1, 768, embedding_init=bert_embed_init, rngs=rngs
