@@ -95,6 +95,22 @@ def main(bf16: bool = True):
 
     batch = _gps_batch(BATCH, NUM_OBJ, NUM_POINTS, SEQ_LEN, cap_len=CAP_LEN)
 
+    # XLA cost analysis: total FLOPs of the K-step executable -> MFU
+    # denominator (v5e bf16 peak 197 TFLOP/s). Pallas custom kernels are
+    # OPAQUE to the analysis, and the frozen vision tower (the model's FLOP
+    # bulk) runs entirely in them, so the XLA count alone badly undercounts;
+    # _pallas_vision_flops adds the analytic MAC count of the fused SA
+    # kernels (forward-only — the tower is frozen, no backward).
+    step_flops = 0.0
+    try:
+        cost = train_k.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", 0.0)) / SCAN_STEPS
+    except Exception:
+        pass
+    pallas_flops = _pallas_vision_flops(BATCH, NUM_OBJ, NUM_POINTS)
+
     for _ in range(WARMUP):
         total, state = train_k(state, batch)
     # fetching the scalar forces full completion (plain block_until_ready has
@@ -111,12 +127,37 @@ def main(bf16: bool = True):
         dts.append(time.perf_counter() - t0)
 
     scenes_per_sec = BATCH * SCAN_STEPS / min(dts)
-    print(json.dumps({
+    out = {
         "metric": "gps_pretrain_scenes_per_sec_per_chip",
         "value": round(scenes_per_sec, 2),
         "unit": "scenes/s",
         "vs_baseline": round(scenes_per_sec / A100_SCENES_PER_SEC, 3),
-    }))
+    }
+    if step_flops:
+        V5E_BF16_PEAK = 197e12
+        total = step_flops + pallas_flops
+        out["mfu"] = round(total / min(dts) * SCAN_STEPS / V5E_BF16_PEAK, 4)
+        out["gflops_per_scene"] = round(total / BATCH / 1e9, 1)
+        out["gflops_per_scene_xla"] = round(step_flops / BATCH / 1e9, 1)
+    print(json.dumps(out))
+
+
+def _pallas_vision_flops(batch, num_obj, num_points):
+    """Analytic MAC count of the fused frozen-SA Pallas kernels per step
+    (ops/pallas/sa_forward.py): per object, each SA level costs a one-hot
+    selection dot (m * nsample * n_in MACs — the kernel's own documented MXU
+    floor) plus the shared MLP over its m*nsample sampled points; GroupAll is
+    the final MLP over m2 points. Shapes are the fixed GPS backbone spec
+    (reference modules/vision/pcd_openvocab_encoder.py:27-32)."""
+    def mlp(n_samples, chans):
+        return n_samples * sum(a * b for a, b in zip(chans, chans[1:]))
+
+    per_obj = (
+        32 * 32 * num_points + mlp(32 * 32, [6, 64, 64, 128])       # SA1
+        + 16 * 32 * 32 + mlp(16 * 32, [131, 128, 128, 256])         # SA2
+        + mlp(16, [259, 256, 512, 768])                             # GroupAll
+    )
+    return 2.0 * per_obj * num_obj * batch  # MAC -> FLOP
 
 
 if __name__ == "__main__":

@@ -240,6 +240,31 @@ def bench_trainer_loop(cfg, device_batches, steps):
     rate = steps * int(cfg.dataloader.batchsize) / dt
     emit("trainer_loop_scenes_per_sec", rate, steps=steps,
          log_every=int(cfg.solver.log_every))
+    return trainer, rate
+
+
+def bench_eval_loop(cfg, trainer, mesh, steps=12):
+    """Eval-mode epoch rate: jit forward + evaluator host update per batch
+    (reference trainer/openvocab_trainer.py:55-80 runs this every epoch)."""
+    import jax
+
+    from sceneverse_tpu.data import build_dataloader
+    from sceneverse_tpu.parallel.mesh import shard_batch
+
+    loader = build_dataloader(cfg, split="val")
+    loader = loader[0] if isinstance(loader, list) else loader
+    raw = next(iter(loader))
+    arrays = {k: v for k, v in raw.items() if hasattr(v, "ndim")}
+    aux = {k: v for k, v in raw.items() if not hasattr(v, "ndim")}
+    device_batch = {**shard_batch(arrays, mesh), **aux}
+    trainer.data_loaders["val"] = DeviceBatchLoader([device_batch], steps)
+    trainer._eval_loop("val", "val")       # compile + warm
+    trainer.data_loaders["val"] = DeviceBatchLoader([device_batch], steps)
+    t0 = time.perf_counter()
+    trainer._eval_loop("val", "val")
+    dt = time.perf_counter() - t0
+    rate = steps * raw["obj_fts"].shape[0] / dt
+    emit("eval_loop_scenes_per_sec", rate, steps=steps)
     return rate
 
 
@@ -277,7 +302,8 @@ def main():
         b2 = {k: (np.ascontiguousarray(v[::-1]) if hasattr(v, "ndim") and v.ndim
                   else v) for k, v in arrays.items()}
         device_batches = [shard_batch(arrays, mesh), shard_batch(b2, mesh)]
-        bench_trainer_loop(cfg, device_batches, args.steps)
+        trainer, _ = bench_trainer_loop(cfg, device_batches, args.steps)
+        bench_eval_loop(cfg, trainer, mesh)
 
 
 if __name__ == "__main__":

@@ -69,6 +69,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def global_put(x, sharding: NamedSharding):
+    """Place host data onto a (possibly multi-process) sharding.
+
+    Single-process: plain device_put. Multi-process: device_put rejects
+    non-addressable shardings, so build the global array from per-shard
+    callbacks — every process must hold the SAME host value (true for
+    replicated params and for the identical-per-host batch contract the
+    reference's DistributedSampler also assumes)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    import jax.numpy as jnp
+
+    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+        # typed PRNG keys (NNX rng streams): ship the raw key data, re-wrap
+        data = np.asarray(jax.random.key_data(x))
+        extra = data.ndim - x.ndim
+        inner = NamedSharding(sharding.mesh,
+                              P(*sharding.spec, *([None] * extra)))
+        arr = jax.make_array_from_callback(data.shape, inner,
+                                           lambda idx: data[idx])
+        return jax.random.wrap_key_data(arr, impl=jax.random.key_impl(x))
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis: int = 0) -> dict:
     """Place a host batch dict onto the mesh, batch-dim sharded.
 
@@ -92,7 +118,7 @@ def shard_batch(batch: dict, mesh: Mesh, axis: int = 0) -> dict:
             if isinstance(x, jax.Array) and x.committed and \
                     x.sharding.is_equivalent_to(target, x.ndim):
                 return x  # already correctly placed (e.g. cached bench batch)
-            return jax.device_put(x, target)
+            return global_put(x, target)
         return x
 
     return {k: place(v) for k, v in batch.items()}
@@ -132,7 +158,7 @@ def shard_module(module, mesh: Mesh) -> None:
             return leaf
         names = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
         spec = _param_spec(".".join(names), leaf, mp)
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return global_put(leaf, NamedSharding(mesh, spec))
 
     state = nnx.state(module)
     state = jax.tree_util.tree_map_with_path(place, state)
