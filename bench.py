@@ -57,6 +57,9 @@ def main(bf16: bool = True):
     if remat_env:  # "1" -> trainable towers; or a comma list of towers
         cfg.model.remat = (True if remat_env in ("1", "true", "on", "yes")
                            else remat_env.split(","))
+    policy_env = os.environ.get("SCENEVERSE_BENCH_REMAT_POLICY", "")
+    if policy_env:
+        cfg.model.remat_policy = policy_env
     model = build_model(cfg, rngs=nnx.Rngs(0))
     model.train()
     if bf16:

@@ -65,10 +65,25 @@ class _OpenVocabBase(BaseModel):
         if unknown:
             raise ValueError(f"model.remat: unknown towers {sorted(unknown)}; "
                              "valid: language, vision, grounding")
+        # cfg.model.remat_policy: "dots" keeps matmul outputs resident and
+        # recomputes only the cheap elementwise chains between them
+        # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — much
+        # less recompute than full-tower remat at a smaller memory saving;
+        # "full" (default) drops everything inside the tower.
+        policy_name = str(cfg.model.get("remat_policy", "full"))
+        if policy_name == "dots":
+            self.remat_policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        elif policy_name == "full":
+            self.remat_policy = None
+        else:
+            raise ValueError(
+                f"model.remat_policy: {policy_name!r}; valid: full, dots")
 
     def _tower(self, name, module, *args):
         if name in self.remat:
-            return nnx.remat(lambda m, *a: m(*a))(module, *args)
+            return nnx.remat(lambda m, *a: m(*a),
+                             policy=self.remat_policy)(module, *args)
         return module(*args)
 
     def _lang(self, *args):

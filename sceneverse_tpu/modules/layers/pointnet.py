@@ -142,9 +142,17 @@ class PointnetSAModule(nnx.Module):
                 if features is not None else xyz
             )
             (w1, s1), (w2, s2), (w3, s3) = fold_shared_mlp(self.mlp)
+            # Per-level block tuning (v5e sweep, BASELINE.md): large-N levels
+            # (SA1) run everything in one kernel at a wide block; small-N
+            # dense levels (SA2) are FPS-latency-bound at the block size the
+            # stage-1/2 unroll allows, so FPS splits into its own wide-block
+            # kernel feeding centers in (bit-identical outputs).
+            small_n = pts.shape[1] < 256
             pooled, new_xyz = fused_sa_forward_frozen(
                 pts, self.npoint, self.nsample, self.radius,
                 w1, s1, w2, s2, w3, s3,
+                64 if small_n else 128,  # block_objects (positional:
+                small_n,                 # custom_jvp nondiff args)
             )
             return (jax.lax.stop_gradient(new_xyz),
                     jax.lax.stop_gradient(pooled))
@@ -164,13 +172,19 @@ class PointnetSAModule(nnx.Module):
             )  # (B, N, C)
             B, N, C = g.shape
             h = g.reshape(B * N, C)
-            for wT, ab in fold_shared_mlp(self.mlp):
+            layers = fold_shared_mlp(self.mlp)
+            for li, (wT, ab) in enumerate(layers):
                 y = jax.lax.dot_general(
                     h.astype(jnp.bfloat16), wT.astype(jnp.bfloat16),
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (B*N, H): wT is (H, Cin)
                 h = jax.nn.relu(y * ab[:, 0] + ab[:, 1])
+                if li + 1 < len(layers):
+                    # the next dot casts to bf16 anyway; rounding HERE is
+                    # bit-identical and halves the inter-layer HBM traffic
+                    # (XLA fuses dot+affine+relu+round into one pass)
+                    h = h.astype(jnp.bfloat16)
             h = h.reshape(B, N, -1)
             new_features = jnp.max(h, axis=1, keepdims=True)  # (B, 1, C')
             return None, jax.lax.stop_gradient(new_features)

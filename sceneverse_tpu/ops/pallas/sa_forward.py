@@ -92,9 +92,73 @@ def _stage2_pool_dense(g_ref, wm_ref, pooled_ref, w2, a2, b2, w3, a3, b3, *,
             pooled_ref[o, :, :] = jnp.where(count_col > 0, pooled, h0)
 
 
-def _kernel(pts_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
-            pooled_ref, newxyz_ref, g_ref, *scratch, npoint, nsample, radius,
-            n, bo, hs):
+def _fps_inline(x, y, z, lane, newxyz_ref, *, npoint, n, bo):
+    """FPS selection over (bo, n) coordinate rows; writes (bo, 8, m) centers
+    into newxyz_ref and returns (cxa, cya, cza) center accumulators.
+
+    The coords of the point picked at step j-1 are extracted inside step j's
+    distance update, so the centers accumulate in the same loop. Invalid
+    (near-origin pad) points carry mindist = -1 from the start: min(-1, d)
+    keeps -1 (d >= 0) and the argmax can never pick them, so no per-step
+    valid-masking is needed."""
+    valid = (x * x + y * y + z * z) > 1e-3
+    m_iota = lax.broadcasted_iota(jnp.int32, (bo, npoint), 1)
+    zeros_m = jnp.zeros((bo, npoint), jnp.float32)
+
+    def fps_body(j, carry):
+        old, mindist, cxa, cya, cza = carry
+        sel = lane == old
+        xi = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+        yi = jnp.sum(jnp.where(sel, y, 0.0), axis=1, keepdims=True)
+        zi = jnp.sum(jnp.where(sel, z, 0.0), axis=1, keepdims=True)
+        put = m_iota == (j - 1)
+        cxa = jnp.where(put, xi, cxa)
+        cya = jnp.where(put, yi, cya)
+        cza = jnp.where(put, zi, cza)
+        d = (x - xi) ** 2 + (y - yi) ** 2 + (z - zi) ** 2
+        mindist = jnp.minimum(mindist, d)
+        best = jnp.max(mindist, axis=1, keepdims=True)
+        new = jnp.min(
+            jnp.where(mindist == best, lane, n), axis=1, keepdims=True
+        ).astype(jnp.int32)
+        return new, mindist, cxa, cya, cza
+
+    init = (jnp.zeros((bo, 1), jnp.int32),
+            jnp.where(valid, 1e10, -1.0),
+            zeros_m, zeros_m, zeros_m)
+    last, _, cxa, cya, cza = lax.fori_loop(1, npoint, fps_body, init)
+    # final center: the point chosen at step npoint-1 (loop extracted only
+    # through npoint-2); also covers npoint == 1 where the loop never runs
+    sel = lane == last
+    put = m_iota == (npoint - 1)
+    cxa = jnp.where(put, jnp.sum(jnp.where(sel, x, 0.0), 1, keepdims=True), cxa)
+    cya = jnp.where(put, jnp.sum(jnp.where(sel, y, 0.0), 1, keepdims=True), cya)
+    cza = jnp.where(put, jnp.sum(jnp.where(sel, z, 0.0), 1, keepdims=True), cza)
+    newxyz_ref[:, 0, :] = cxa
+    newxyz_ref[:, 1, :] = cya
+    newxyz_ref[:, 2, :] = cza
+    newxyz_ref[:, 3:, :] = jnp.zeros((bo, 5, npoint), jnp.float32)
+    return cxa, cya, cza
+
+
+def _fps_kernel(pts_ref, newxyz_ref, *, npoint, n, bo):
+    """Standalone FPS over a (large) block of objects -> (bo, 8, m) centers.
+
+    Split out of the fused kernel because FPS is the one SEQUENTIAL phase:
+    npoint dependent steps of tiny vector ops. At small n (SA2: n=32) the
+    fused kernel's per-level block size is capped by its stage-1/2 unroll and
+    scratch, leaving FPS instruction/latency-bound across many grid steps;
+    running FPS alone at block_objects in the hundreds packs the per-step ops
+    into full vregs and amortizes the serial chain over 8-32x more objects."""
+    x = pts_ref[:, 0, :]
+    y = pts_ref[:, 1, :]
+    z = pts_ref[:, 2, :]
+    lane = lax.broadcasted_iota(jnp.int32, (bo, n), 1)
+    _fps_inline(x, y, z, lane, newxyz_ref, npoint=npoint, n=n, bo=bo)
+
+
+def _kernel(pts_ref, *refs, npoint, nsample, radius,
+            n, bo, hs, stages=3, centers_in=False):
     """Block of ``bo`` objects. pts_ref (bo, C, N) f32, rows 0..2 = xyz.
     w_i refs are (Cin_i, H_i) bf16 (natural conv layout); s_i refs are
     (2, H_i) f32 [scale; shift] rows (BN folded, or [1; bias]).
@@ -108,58 +172,31 @@ def _kernel(pts_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
     lanes makes the big K=N-points contraction run at full output tiles and
     drops layer 1 from stage 2. One-hot selection keeps it exact w.r.t. the
     bf16-projected per-point values."""
+    if centers_in:
+        (cin_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
+         pooled_ref, newxyz_ref, g_ref, *scratch) = refs
+    else:
+        (w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
+         pooled_ref, newxyz_ref, g_ref, *scratch) = refs
     h1, h2, h3 = hs
     m = npoint
     x = pts_ref[:, 0, :]
     y = pts_ref[:, 1, :]
     z = pts_ref[:, 2, :]
-    valid = (x * x + y * y + z * z) > 1e-3
     lane = lax.broadcasted_iota(jnp.int32, (bo, n), 1)
-    m_iota = lax.broadcasted_iota(jnp.int32, (bo, npoint), 1)
 
-    # ---- FPS across the block (same selection math as sample_group._kernel).
-    # The coords of the point picked at step j-1 are already extracted inside
-    # step j's distance update, so the centers accumulate in the same loop —
-    # a second extraction pass over npoint would double the reduction count.
-    zeros_m = jnp.zeros((bo, npoint), jnp.float32)
-
-    def fps_body(j, carry):
-        old, mindist, idxs, cxa, cya, cza = carry
-        sel = lane == old
-        xi = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
-        yi = jnp.sum(jnp.where(sel, y, 0.0), axis=1, keepdims=True)
-        zi = jnp.sum(jnp.where(sel, z, 0.0), axis=1, keepdims=True)
-        put = m_iota == (j - 1)
-        cxa = jnp.where(put, xi, cxa)
-        cya = jnp.where(put, yi, cya)
-        cza = jnp.where(put, zi, cza)
-        d = (x - xi) ** 2 + (y - yi) ** 2 + (z - zi) ** 2
-        mindist = jnp.where(valid, jnp.minimum(mindist, d), mindist)
-        cand = jnp.where(valid, mindist, -1.0)
-        best = jnp.max(cand, axis=1, keepdims=True)
-        new = jnp.min(
-            jnp.where(cand == best, lane, n), axis=1, keepdims=True
-        ).astype(jnp.int32)
-        idxs = jnp.where(m_iota == j, new, idxs)
-        return new, mindist, idxs, cxa, cya, cza
-
-    init = (jnp.zeros((bo, 1), jnp.int32),
-            jnp.full((bo, n), 1e10, jnp.float32),
-            jnp.zeros((bo, npoint), jnp.int32),
-            zeros_m, zeros_m, zeros_m)
-    last, _, fps_idxs, cxa, cya, cza = lax.fori_loop(1, npoint, fps_body, init)
-
-    # final center: the point chosen at step npoint-1 (loop extracted only
-    # through npoint-2); also covers npoint == 1 where the loop never runs
-    sel = lane == last
-    put = m_iota == (npoint - 1)
-    cxa = jnp.where(put, jnp.sum(jnp.where(sel, x, 0.0), 1, keepdims=True), cxa)
-    cya = jnp.where(put, jnp.sum(jnp.where(sel, y, 0.0), 1, keepdims=True), cya)
-    cza = jnp.where(put, jnp.sum(jnp.where(sel, z, 0.0), 1, keepdims=True), cza)
-    newxyz_ref[:, 0, :] = cxa
-    newxyz_ref[:, 1, :] = cya
-    newxyz_ref[:, 2, :] = cza
-    newxyz_ref[:, 3:, :] = jnp.zeros((bo, 5, npoint), jnp.float32)
+    if centers_in:
+        # FPS ran in its own wide-block kernel (_fps_kernel); pass through
+        cxa = cin_ref[:, 0, :]
+        cya = cin_ref[:, 1, :]
+        cza = cin_ref[:, 2, :]
+        newxyz_ref[:, :, :] = cin_ref[:, :, :]
+    else:
+        cxa, cya, cza = _fps_inline(x, y, z, lane, newxyz_ref,
+                                    npoint=npoint, n=n, bo=bo)
+    if stages <= 1:  # bisection probe: FPS only
+        pooled_ref[:, :, :] = jnp.zeros((bo, npoint, hs[2]), jnp.float32)
+        return
 
     # ---- Stage 1 ----
     # Two statically-selected formulations:
@@ -227,8 +264,12 @@ def _kernel(pts_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
             g_ref[b * opc:(b + 1) * opc, :] = jnp.maximum(
                 a1 * (pw_rep - cw1_rep) + b1, 0.0).astype(jnp.bfloat16)
 
-        _stage2_pool_dense(g_ref, wm_ref, pooled_ref, w2, a2, b2, w3, a3, b3,
-                           npoint=npoint, n=n, bo=bo, h3=h3, opc=opc)
+        if stages >= 3:
+            _stage2_pool_dense(g_ref, wm_ref, pooled_ref, w2, a2, b2, w3,
+                               a3, b3, npoint=npoint, n=n, bo=bo, h3=h3,
+                               opc=opc)
+        else:
+            pooled_ref[:, :, :] = jnp.zeros((bo, npoint, h3), jnp.float32)
         return
 
     for b in range(bo):
@@ -289,6 +330,9 @@ def _kernel(pts_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
     # the selection) + slot max-pool. Numerics identical to per-object dots:
     # each scratch row goes through the same bf16-operand / f32-accumulate
     # contraction regardless of batching. ----
+    if stages <= 2:
+        pooled_ref[:, :, :] = jnp.zeros((bo, npoint, h3), jnp.float32)
+        return
     sobj = max(1, 4096 // opc)
     while bo % sobj != 0:
         sobj -= 1
@@ -312,10 +356,13 @@ def _kernel(pts_ref, w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "nsample", "radius",
-                                             "interpret", "block_objects"))
+                                             "interpret", "block_objects",
+                                             "stages", "split_fps",
+                                             "fps_block_objects"))
 def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
                      w1, s1, w2, s2, w3, s3, interpret: bool = False,
-                     block_objects: int = 16):
+                     block_objects: int = 16, stages: int = 3,
+                     split_fps: bool = False, fps_block_objects: int = 512):
     """Fused frozen-SA forward.
 
     Args:
@@ -324,6 +371,10 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
         the public contract matches fold_shared_mlp; the kernel consumes
         them re-transposed to the natural (Cin_i, H_i) layout.
       s_i: (H_i, 2) f32 columns [scale, shift] (eval-BN folded affine).
+      split_fps: run FPS as its own wide-block kernel (fps_block_objects)
+        feeding centers into the main kernel — same math/bits, amortizes
+        the serial FPS chain when block_objects is capped small by the
+        stage-1/2 unroll (the SA2 configuration).
     Returns:
       pooled: (G, npoint, H3) f32 — post-MLP max-pooled features,
       new_xyz: (G, npoint, 3) f32.
@@ -339,22 +390,52 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
     s1n, s2n, s3n = (jnp.swapaxes(s, 0, 1).astype(jnp.float32)
                      for s in (s1, s2, s3))
 
+    centers = None
+    if split_fps:
+        fbo = fps_block_objects
+        while G % fbo != 0:
+            fbo //= 2
+        # FPS reads only xyz — stream a (G, 3, N) slice, not all C channels
+        # (SA2's C=131 would blow the double-buffered VMEM window at wide fbo)
+        centers = pl.pallas_call(
+            functools.partial(_fps_kernel, npoint=npoint, n=N, bo=fbo),
+            grid=(G // fbo,),
+            in_specs=[pl.BlockSpec((fbo, 3, N), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((fbo, 8, npoint), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, 8, npoint), jnp.float32),
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(pts_t[:, 0:3, :])
+
     kernel = functools.partial(
         _kernel, npoint=npoint, nsample=nsample, radius=float(radius),
-        n=N, bo=bo, hs=hs,
+        n=N, bo=bo, hs=hs, stages=stages, centers_in=split_fps,
     )
     const = lambda *shape: pl.BlockSpec(shape, lambda g: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((bo, C, N), lambda g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [pts_t]
+    if split_fps:
+        in_specs.append(pl.BlockSpec((bo, 8, npoint), lambda g: (g, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(centers)
+    in_specs += [
+        const(*w1n.shape), const(*s1n.shape),
+        const(*w2n.shape), const(*s2n.shape),
+        const(*w3n.shape), const(*s3n.shape),
+    ]
+    operands += [w1n, s1n, w2n, s2n, w3n, s3n]
     pooled, newxyz = pl.pallas_call(
         kernel,
         grid=(G // bo,),
-        in_specs=[
-            pl.BlockSpec((bo, C, N), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            const(*w1n.shape), const(*s1n.shape),
-            const(*w2n.shape), const(*s2n.shape),
-            const(*w3n.shape), const(*s3n.shape),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((bo, npoint, hs[2]), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -375,7 +456,7 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(pts_t, w1n, s1n, w2n, s2n, w3n, s3n)
+    )(*operands)
 
     return pooled, jnp.swapaxes(newxyz[:, 0:3, :], 1, 2)
 
@@ -407,16 +488,19 @@ def fold_shared_mlp(shared_mlp):
 # kernel opaque; it is only ever used under freeze=True where these gradients
 # are discarded anyway.
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3, 10, 11))
 def fused_sa_forward_frozen(pts, npoint, nsample, radius,
-                            w1, s1, w2, s2, w3, s3):
+                            w1, s1, w2, s2, w3, s3,
+                            block_objects=16, split_fps=False):
     return fused_sa_forward(pts, npoint, nsample, radius,
-                            w1, s1, w2, s2, w3, s3)
+                            w1, s1, w2, s2, w3, s3,
+                            block_objects=block_objects, split_fps=split_fps)
 
 
 @fused_sa_forward_frozen.defjvp
-def _fsa_jvp(npoint, nsample, radius, primals, tangents):
+def _fsa_jvp(npoint, nsample, radius, block_objects, split_fps,
+             primals, tangents):
     del tangents
     out = fused_sa_forward_frozen(primals[0], npoint, nsample, radius,
-                                  *primals[1:])
+                                  *primals[1:], block_objects, split_fps)
     return out, jax.tree.map(jnp.zeros_like, out)
