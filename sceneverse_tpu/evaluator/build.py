@@ -91,6 +91,16 @@ class BaseEvaluator:
             acc[0] = acc[0] + value
             acc[1] = acc[1] + count
 
+    def update_sums(self, metrics):
+        """Accumulate pre-summed (value, count) pairs — the fused eval path
+        (BaseTrainer.eval_fused) reduces whole dispatch groups of batches
+        in-graph and delivers their sums here. Same accumulation semantics as
+        ``update``, minus the per-batch ``batch_metrics`` call."""
+        for key, (value, count) in metrics.items():
+            acc = self.eval_dict.setdefault(key, [0.0, 0.0])
+            acc[0] = acc[0] + value
+            acc[1] = acc[1] + count
+
     def record(self):
         out = {}
         for k, (value, count) in self.eval_dict.items():

@@ -99,6 +99,31 @@ def _unpack_device(buf, metas):
     return out
 
 
+def _stack_batches(data_dicts):
+    """Stack K same-shape host batch dicts along a new leading axis (the
+    lax.scan axis of the K-steps/K-eval-batches-per-dispatch paths). Non-array
+    leaves (strings, lists of ids) are dropped — they never enter jit."""
+    stacked = {}
+    for key, v0 in data_dicts[0].items():
+        vs = [d[key] for d in data_dicts]
+        if hasattr(v0, "ndim") and getattr(v0, "ndim", 0) >= 1:
+            stacked[key] = np.stack([np.asarray(v) for v in vs])
+        elif isinstance(v0, (int, float, bool, np.number)) or (
+                hasattr(v0, "ndim") and v0.ndim == 0):
+            stacked[key] = np.asarray(vs)
+    return stacked
+
+
+def _batch_signature(data_dict):
+    """Shape/dtype key used to group stackable eval batches (the tail batch
+    of a drop_last=False loader is smaller and needs its own executable)."""
+    return tuple(sorted(
+        (k, np.asarray(v).shape, str(np.asarray(v).dtype))
+        for k, v in data_dict.items()
+        if hasattr(v, "ndim") or isinstance(v, (int, float, bool, np.number))
+    ))
+
+
 class Tracker:
     """Checkpointable experiment progress (reference trainer/build.py:29-45)."""
 
@@ -207,6 +232,8 @@ class BaseTrainer:
         self._train_k_len = 0
         self._train_k_metas = None
         self._compiled_forward = None
+        self._compiled_eval_k = {}
+        self._eval_graphdef = None
         self._graphdef = None
         self._train_state = None
         # single-buffer host->device batch transfer (see _pack_host); the
@@ -317,14 +344,7 @@ class BaseTrainer:
         arrays — flush_train_logs understands the stacked form.
         """
         k = len(data_dicts)
-        stacked = {}
-        for key, v0 in data_dicts[0].items():
-            vs = [d[key] for d in data_dicts]
-            if hasattr(v0, "ndim") and getattr(v0, "ndim", 0) >= 1:
-                stacked[key] = np.stack([np.asarray(v) for v in vs])
-            elif isinstance(v0, (int, float, bool, np.number)) or (
-                    hasattr(v0, "ndim") and v0.ndim == 0):
-                stacked[key] = np.asarray(vs)
+        stacked = _stack_batches(data_dicts)
         host_input = not any(
             isinstance(v, jax.Array) for d in data_dicts for v in d.values()
         )
@@ -356,6 +376,103 @@ class BaseTrainer:
             return model(batch)
 
         return forward
+
+    # ------------------------------------------------------------- fused eval
+    #
+    # The eager eval loop costs one forward dispatch PLUS ~30 eager metric-op
+    # dispatches per batch (each jnp op in batch_metrics runs as its own tiny
+    # program outside jit). The reference pays the same shape per batch on GPU
+    # (evaluator update after every forward, trainer/default_trainer.py:60-75)
+    # where dispatch is cheap; on TPU the fused path below folds the forward
+    # AND the (value, count) metric reduction of K eval batches into ONE
+    # executable, so an eval epoch is a handful of dispatches and exactly one
+    # scalar fetch (in BaseEvaluator.record).
+    def _eval_state(self):
+        """Functional eval-mode model state; the eval-mode graphdef is fixed
+        for the life of the trainer, so it is captured once and reused by
+        every compiled eval executable (re-jitting per epoch would recompile)."""
+        self._materialize()
+        self.model.eval()
+        graphdef, state = nnx.split(self.model)
+        if self._eval_graphdef is None:
+            self._eval_graphdef = graphdef
+        return state
+
+    def _build_eval_k(self, metrics_fn, metas=None):
+        import jax.numpy as jnp
+
+        graphdef = self._eval_graphdef
+
+        @jax.jit
+        def eval_k(state, batches):
+            if metas is not None:
+                batches = _unpack_device(batches, metas)
+
+            def body(carry, batch):
+                model = nnx.merge(graphdef, state)
+                out = model(batch)
+                m = metrics_fn({**batch, **out}, include_count=True)
+                # counts may be static Python ints (batch size); promote every
+                # leaf to f32 so the scan stacks them and sums stay exact in
+                # the ranges involved (matches the float accumulation of
+                # BaseEvaluator.update)
+                m = {
+                    key: (jnp.asarray(v, jnp.float32),
+                          jnp.asarray(c, jnp.float32))
+                    for key, (v, c) in m.items()
+                }
+                return carry, m
+
+            _, stacked = jax.lax.scan(body, 0, batches)
+            return jax.tree.map(lambda x: jnp.sum(x, axis=0), stacked)
+
+        return eval_k
+
+    def eval_metrics_k(self, state, data_dicts, metrics_fn):
+        """Forward + (value, count) metric sums for K eval batches in ONE
+        dispatch. Returns {name: (value_sum, count_sum)} device scalars."""
+        stacked = _stack_batches(data_dicts)
+        if self._packed:
+            buf, metas = _pack_host(stacked)
+            batches = jax.device_put(buf)
+        else:
+            metas = None
+            batches = shard_batch(stacked, self.mesh, axis=1)
+        key = (id(metrics_fn), len(data_dicts), metas)
+        fn = self._compiled_eval_k.get(key)
+        if fn is None:
+            fn = self._build_eval_k(metrics_fn, metas)
+            self._compiled_eval_k[key] = fn
+        return fn(state, batches)
+
+    def eval_fused(self, evaluator, loader, metrics_fn):
+        """Drive one eval split through the fused scan path.
+
+        Batches are grouped into runs of identical shape (the drop_last=False
+        tail batch gets its own, smaller, executable) and dispatched K at a
+        time (``solver.eval_steps_per_dispatch``)."""
+        spd = max(1, int(self.cfg.solver.get(
+            "eval_steps_per_dispatch",
+            self.cfg.solver.get("steps_per_dispatch", 1) or 1,
+        )))
+        state = self._eval_state()
+        chunk, sig = [], None
+
+        def flush():
+            if chunk:
+                evaluator.update_sums(
+                    self.eval_metrics_k(state, chunk, metrics_fn))
+                chunk.clear()
+
+        for data_dict in loader:
+            s = _batch_signature(data_dict)
+            if sig is not None and s != sig:
+                flush()
+            sig = s
+            chunk.append(data_dict)
+            if len(chunk) == spd:
+                flush()
+        flush()
 
     def forward(self, data_dict):
         self._materialize()
@@ -504,12 +621,25 @@ class BaseTrainer:
         save_checkpoint(self.ckpt_path / name, self._ckpt_state())
 
     def resume(self):
-        from sceneverse_tpu.ckpt.checkpoint import load_checkpoint
+        from sceneverse_tpu.ckpt.checkpoint import (
+            is_checkpoint,
+            latest_checkpoint,
+            load_checkpoint,
+            wait_for_checkpoints,
+        )
 
+        wait_for_checkpoints()  # async saves may still be committing
         target = self.ckpt_path / "latest.pth"
         if not target.exists():
-            target = self.ckpt_path
-        if target.exists():
+            if is_checkpoint(self.ckpt_path):
+                # ckpt_path points directly at one checkpoint
+                target = self.ckpt_path
+            else:
+                # trainers without a latest.pth (OpenVocabTrainer saves only
+                # best + every-N, reference openvocab_trainer.py:104-109):
+                # resume from the most recent finalized checkpoint
+                target = latest_checkpoint(self.ckpt_path) or self.ckpt_path
+        if target.exists() and is_checkpoint(target):
             state = load_checkpoint(target, self._ckpt_state())
             self._train_state = None  # invalidate functional snapshot
             nnx.update(self.model, state["model"])

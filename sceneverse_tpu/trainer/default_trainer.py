@@ -111,9 +111,17 @@ class DefaultTrainer(BaseTrainer):
             ev_list = ev_list * len(ld_list)
         is_best, results = False, {}
         for ev, ld in zip(ev_list, ld_list):
-            for data_dict in ld:
-                out = self.forward(data_dict)
-                ev.update({**data_dict, **jax_to_host(out)})
+            fused = self._fusable_metrics(ev)
+            if fused is not None:
+                # forward + metric reduction fused into one executable per
+                # dispatch group (see BaseTrainer.eval_fused) — the eager loop
+                # below costs ~30 tiny metric dispatches per batch on top of
+                # the forward
+                self.eval_fused(ev, ld, fused)
+            else:
+                for data_dict in ld:
+                    out = self.forward(data_dict)
+                    ev.update({**data_dict, **jax_to_host(out)})
             best_i, res_i = ev.record()
             is_best = is_best or best_i
             results.update(res_i)
@@ -151,6 +159,9 @@ class DefaultTrainer(BaseTrainer):
         results = self.test_step()
         if self.mode == "train":
             self.logger.finish()
+        from sceneverse_tpu.ckpt.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()  # async epoch saves must be durable at exit
         return results
 
 

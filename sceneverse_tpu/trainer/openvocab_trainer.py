@@ -37,4 +37,7 @@ class OpenVocabTrainer(DefaultTrainer):
         results = self.test_step()
         if self.mode == "train":
             self.logger.finish()
+        from sceneverse_tpu.ckpt.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()  # async best/ckpt_N saves must be durable
         return results

@@ -98,6 +98,56 @@ def test_checkpoint_save_resume(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_resume_without_latest(tmp_path):
+    """OpenVocabTrainer saves only best + ckpt_N (reference
+    openvocab_trainer.py:104-109); resume must pick the most recent finalized
+    checkpoint instead of choking on the bare ckpt dir."""
+    cfg = objcls_cfg(tmp_path, epochs=1)
+    trainer = build_trainer(cfg)
+    trainer.run()
+    trainer.save("best.pth")
+    trainer.save("ckpt_1.pth")
+
+    cfg2 = objcls_cfg(tmp_path, epochs=1)
+    cfg2.resume = True
+    trainer2 = build_trainer(cfg2)
+    assert trainer2.exp_tracker.epoch == 1
+    p1 = nnx.to_pure_dict(nnx.state(trainer.model, nnx.Param))
+    p2 = nnx.to_pure_dict(nnx.state(trainer2.model, nnx.Param))
+    import jax
+
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_async_overwrite(tmp_path):
+    """Per-epoch ``latest.pth`` saves overwrite the same path while the
+    previous async save may still be in flight; the final on-disk state must
+    be the LAST save (orbax drains in-flight saves before re-dispatching)."""
+    from sceneverse_tpu.ckpt.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+        wait_for_checkpoints,
+    )
+
+    cfg = objcls_cfg(tmp_path, epochs=1)
+    trainer = build_trainer(cfg)
+    trainer.run()
+
+    state1 = trainer._ckpt_state()
+    trainer.global_step += 100  # distinguishable second save
+    state2 = trainer._ckpt_state()
+    path = trainer.ckpt_path / "latest.pth"
+    save_checkpoint(path, state1)
+    save_checkpoint(path, state2)  # overwrite with save 1 possibly in flight
+    save_checkpoint(trainer.ckpt_path / "ckpt_1.pth", state2)
+    wait_for_checkpoints()
+    assert path.exists(), "latest.pth lost during async overwrite"
+    assert (trainer.ckpt_path / "ckpt_1.pth").exists()
+    restored = load_checkpoint(path, trainer._ckpt_state())
+    assert int(restored["global_step"]) == int(state2["global_step"])
+
+
 def test_training_reduces_loss(tmp_path):
     """The jit'd train step must actually learn: loss on a fixed batch drops."""
     import jax.numpy as jnp
@@ -156,6 +206,44 @@ def test_steps_per_dispatch_equivalence(tmp_path):
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+
+def _eval_results(tmp_path, fused, synthetic_size=16, eval_spd=None):
+    cfg = objcls_cfg(tmp_path, epochs=1)
+    cfg.data.synthetic_size = synthetic_size
+    if eval_spd is not None:
+        cfg.solver.eval_steps_per_dispatch = eval_spd
+    trainer = build_trainer(cfg)
+    ev = trainer.evaluator
+    if not fused:
+        ev.JIT_METRICS = False  # instance override -> eager per-batch path
+    _, results = trainer._eval_loop("val", "val")
+    if fused:
+        assert trainer._compiled_eval_k, "fused eval path was not exercised"
+    return results
+
+
+def test_eval_fused_equivalence(tmp_path):
+    """The fused scan eval (forward + in-graph (value,count) sums, K batches
+    per dispatch) must reproduce the eager per-batch evaluator loop exactly."""
+    eager = _eval_results(tmp_path / "eager", fused=False)
+    fused = _eval_results(tmp_path / "fused", fused=True, eval_spd=2)
+    for k in eager:
+        np.testing.assert_allclose(
+            float(fused[k]), float(eager[k]), rtol=1e-6, atol=1e-7,
+            err_msg=f"metric {k} diverged between fused and eager eval")
+
+
+def test_eval_fused_tail_batch(tmp_path):
+    """drop_last=False tail (20 items / batch 8 -> 8,8,4) gets its own
+    executable; totals still match the eager loop."""
+    eager = _eval_results(tmp_path / "eager", fused=False, synthetic_size=20)
+    fused = _eval_results(tmp_path / "fused", fused=True, synthetic_size=20,
+                          eval_spd=2)
+    for k in eager:
+        np.testing.assert_allclose(
+            float(fused[k]), float(eager[k]), rtol=1e-6, atol=1e-7,
+            err_msg=f"metric {k} diverged between fused and eager eval")
 
 
 def test_steps_per_dispatch_tail(tmp_path):
