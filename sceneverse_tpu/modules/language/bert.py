@@ -107,7 +107,10 @@ class BertSelfAttention(nnx.Module):
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) / math.sqrt(dh)
         logits = logits + attn_bias  # additive mask, HF semantics
-        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        # f32 softmax, v.dtype-only backward residual (ops/softmax.py)
+        from sceneverse_tpu.ops.softmax import softmax_lowp
+
+        attn = softmax_lowp(logits, v.dtype)
         attn = self.dropout(attn)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         return out.transpose(0, 2, 1, 3).reshape(B, L, D)

@@ -85,7 +85,10 @@ class CLIPAttention(nnx.Module):
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         logits = logits + attn_bias
-        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        # f32 softmax, v.dtype-only backward residual (ops/softmax.py)
+        from sceneverse_tpu.ops.softmax import softmax_lowp
+
+        attn = softmax_lowp(logits, v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         return self.out_proj(out.transpose(0, 2, 1, 3).reshape(B, L, D))
 

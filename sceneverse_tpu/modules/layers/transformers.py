@@ -23,6 +23,7 @@ from flax import nnx
 
 from sceneverse_tpu.modules.utils import get_activation_fn
 from sceneverse_tpu.modules.weights import bert_linear_kernel_init, zeros_init
+from sceneverse_tpu.ops.softmax import softmax_lowp
 
 Array = jax.Array
 
@@ -34,17 +35,6 @@ def _linear(din, dout, rngs, use_bias=True):
         din, dout, use_bias=use_bias,
         kernel_init=bert_linear_kernel_init, bias_init=zeros_init, rngs=rngs,
     )
-
-
-def _masked_softmax(logits: Array, key_padding_mask: Optional[Array]) -> Array:
-    """Softmax over the last axis with torch masked_fill(-inf) semantics.
-
-    ``key_padding_mask``: (B, T) True = pad. Broadcasts over head/query dims.
-    """
-    if key_padding_mask is not None:
-        mask = key_padding_mask[:, None, None, :]  # (B,1,1,T)
-        logits = jnp.where(mask, NEG_INF, logits)
-    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
 
 
 class MultiHeadAttention(nnx.Module):
@@ -118,9 +108,14 @@ class MultiHeadAttention(nnx.Module):
         ) / math.sqrt(self.d_head)
         if attn_mask is not None:
             logits = jnp.where(attn_mask, NEG_INF, logits)
-        attn = _masked_softmax(logits, key_padding_mask)  # f32 softmax
+        if key_padding_mask is not None:
+            logits = jnp.where(key_padding_mask[:, None, None, :], NEG_INF,
+                               logits)
+        # f32 softmax; only the v.dtype probs are kept for backward
+        # (ops/softmax.py — in f32 mode this is exactly jax.nn.softmax)
+        attn = softmax_lowp(logits, v.dtype)
         attn = self.attn_dropout(attn)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                          preferred_element_type=jnp.float32)
         B, H, T, dh = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
@@ -351,7 +346,8 @@ class MultiHeadAttentionSpatial(nnx.Module):
                 )
             else:
                 fused_attn = loc_attn + attn
-            fused_attn = jax.nn.softmax(fused_attn.astype(jnp.float32), axis=3)
+            # f32 softmax, v.dtype-only backward residual (ops/softmax.py)
+            fused_attn = softmax_lowp(fused_attn, v.dtype)
         fused_attn = fused_attn.astype(v.dtype)
 
         output = jnp.einsum("bhlt,bhtv->bhlv", fused_attn, v)

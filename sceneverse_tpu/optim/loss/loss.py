@@ -10,8 +10,11 @@ torch semantics reproduced:
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import nnx
 
 from sceneverse_tpu.registry import Registry
@@ -25,9 +28,12 @@ def _log_softmax(logits):
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
 
-def cross_entropy(logits: Array, labels: Array, label_smoothing: float = 0.0) -> Array:
-    """Per-position CE (no reduction). Out-of-range labels are clamped; caller
-    masks them out (torch ignore-index semantics are built by callers)."""
+def _ce_values(logits, labels, label_smoothing):
+    """Forward math shared by primal and fwd rule. Returns (nll, lse).
+
+    Bit-identical to the pre-custom-vjp implementation: f32 log_softmax,
+    clamped-label gather, optional smoothing term.
+    """
     num_classes = logits.shape[-1]
     logp = _log_softmax(logits)
     safe = jnp.clip(labels, 0, num_classes - 1)
@@ -35,7 +41,53 @@ def cross_entropy(logits: Array, labels: Array, label_smoothing: float = 0.0) ->
     if label_smoothing > 0.0:
         smooth = -jnp.mean(logp, axis=-1)
         nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
-    return nll
+    # logsumexp reconstructed exactly from any column: lse = x - logp
+    lse = logits[..., 0].astype(jnp.float32) - logp[..., 0]
+    return nll, lse
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def cross_entropy(logits: Array, labels: Array, label_smoothing: float = 0.0) -> Array:
+    """Per-position CE (no reduction). Out-of-range labels are clamped; caller
+    masks them out (torch ignore-index semantics are built by callers).
+
+    Memory-lean custom VJP: the default autodiff of ``log_softmax → gather``
+    stores TWO float32 vocab-sized residuals (the f32 cast of the logits and
+    the f32 log-probs). At the masked-LM head's (B,50,30522) shape that is
+    ~1.5 GB/step of HBM traffic at B=128 (device profile, profile_analyze.py).
+    This rule saves only the logits in their INPUT dtype (bf16 under mixed
+    precision — a tensor the forward already materialized) plus a per-position
+    f32 logsumexp, and recomputes ``p = exp(x − lse)`` elementwise in
+    backward, fused by XLA into the consuming matmuls. Forward values and
+    gradients match the standard VJP to float-rounding order; in f32 mode the
+    residual is the full-precision logits, so nothing is lost.
+    """
+    return _ce_values(logits, labels, label_smoothing)[0]
+
+
+def _ce_fwd(logits, labels, label_smoothing):
+    nll, lse = _ce_values(logits, labels, label_smoothing)
+    return nll, (logits, labels, lse)
+
+
+def _ce_bwd(label_smoothing, res, g):
+    logits, labels, lse = res
+    num_classes = logits.shape[-1]
+    lf = logits.astype(jnp.float32)
+    p = jnp.exp(lf - lse[..., None])
+    safe = jnp.clip(labels, 0, num_classes - 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, lf.shape, lf.ndim - 1)
+    is_label = iota == safe[..., None]
+    # d nll / d logit_j = p_j − (1−s)·1[j=label] − s/K
+    grad = p - jnp.where(is_label, 1.0 - label_smoothing, 0.0)
+    if label_smoothing > 0.0:
+        grad = grad - label_smoothing / num_classes
+    grad = grad * g[..., None].astype(jnp.float32)
+    zero_labels = np.zeros(labels.shape, dtype=jax.dtypes.float0)
+    return grad.astype(logits.dtype), zero_labels
+
+
+cross_entropy.defvjp(_ce_fwd, _ce_bwd)
 
 
 def bce_with_logits(logits: Array, targets: Array, weight: Array | None = None) -> Array:

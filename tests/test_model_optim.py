@@ -288,3 +288,44 @@ def test_remat_towers_exact_equivalence():
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_cross_entropy_lean_vjp_matches_naive():
+    """cross_entropy's memory-lean custom VJP (loss.py): forward bit-identical
+    to the naive f32 log_softmax formula; gradients match its autodiff within
+    float rounding — incl. label smoothing, bf16 logits, and torch-style
+    ignored labels (out-of-range, masked by zero cotangent)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sceneverse_tpu.optim.loss.loss import cross_entropy
+
+    def naive(logits, labels, s=0.0):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        if s > 0.0:
+            nll = (1.0 - s) * nll + s * -jnp.mean(logp, axis=-1)
+        return nll
+
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.normal(size=(4, 6, 97)).astype(np.float32) * 4)
+    labels = jnp.asarray(rng.integers(-1, 97, size=(4, 6)))  # -1 = ignored
+    mask = (labels >= 0).astype(jnp.float32)
+
+    for s in (0.0, 0.1):
+        for dt in (jnp.float32, jnp.bfloat16):
+            lg = logits.astype(dt)
+            got = cross_entropy(lg, labels, s)
+            want = naive(lg, labels, s)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+            f_got = lambda x: jnp.sum(cross_entropy(x, labels, s) * mask)
+            f_want = lambda x: jnp.sum(naive(x, labels, s) * mask)
+            g_got = jax.grad(f_got)(lg)
+            g_want = jax.grad(f_want)(lg)
+            assert g_got.dtype == lg.dtype
+            tol = 1e-6 if dt == jnp.float32 else 1e-2
+            np.testing.assert_allclose(
+                np.asarray(g_got, np.float32), np.asarray(g_want, np.float32),
+                atol=tol, rtol=tol)

@@ -116,8 +116,20 @@ def ref():
     finally:
         torch.Tensor.cuda = saved_cuda
         sys.path[:] = saved_path
-        for name in list(sys.modules):
-            if name not in saved_modules:
+        for name, mod in list(sys.modules.items()):
+            if name in saved_modules:
+                continue
+            # Purge ONLY our stubs and modules loaded from the reference
+            # tree. Deleting every new module also evicts lazily imported
+            # torch.* submodules, and re-importing those re-runs global
+            # TORCH_LIBRARY registrations (c10d_functional), which crashes
+            # any later `import transformers` in the same process.
+            top = name.split(".")[0]
+            from_ref = str(getattr(mod, "__file__", "")).startswith(REF)
+            if from_ref or top in (
+                "fvcore", "common", "modules", "model", "clip",
+                "data", "optim", "evaluator", "trainer", "preprocess",
+            ):
                 del sys.modules[name]
 
 
