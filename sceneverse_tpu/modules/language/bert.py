@@ -103,10 +103,13 @@ class BertSelfAttention(nnx.Module):
             key_pad = attn_bias[:, 0, 0, :] < -1.0  # (B, L) True = pad
             out = masked_mha(q, k, v, key_pad, sm_scale=1.0 / math.sqrt(dh))
             return out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        # compute-dtype logits (bf16 under mixed precision — torch-autocast
+        # semantics; MXU accumulation is f32 regardless), f32 softmax below
         logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / math.sqrt(dh)
-        logits = logits + attn_bias  # additive mask, HF semantics
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=q.dtype
+        ) / jnp.asarray(math.sqrt(dh), q.dtype)
+        # additive mask, HF semantics (-1e4 at pads survives bf16 rounding)
+        logits = logits + attn_bias.astype(logits.dtype)
         # f32 softmax, v.dtype-only backward residual (ops/softmax.py)
         from sceneverse_tpu.ops.softmax import softmax_lowp
 

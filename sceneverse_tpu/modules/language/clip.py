@@ -82,9 +82,10 @@ class CLIPAttention(nnx.Module):
         split = lambda t: t.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
         q = split(self.q_proj(x)) * (dh ** -0.5)
         k, v = split(self.k_proj(x)), split(self.v_proj(x))
+        # compute-dtype logits (torch-autocast semantics), f32 softmax below
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits + attn_bias
+                            preferred_element_type=q.dtype)
+        logits = logits + attn_bias.astype(logits.dtype)
         # f32 softmax, v.dtype-only backward residual (ops/softmax.py)
         from sceneverse_tpu.ops.softmax import softmax_lowp
 

@@ -103,14 +103,21 @@ class MultiHeadAttention(nnx.Module):
             B, H, T, dh = out.shape
             out = out.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
             return self.out_proj(out), None
+        # logits materialize in the COMPUTE dtype (bf16 under mixed
+        # precision) — the MXU still accumulates f32 internally, only the
+        # stored result is rounded. This matches torch-autocast semantics
+        # (einsum emits bf16, softmax upcasts to f32) and halves the (L,T)
+        # score-tensor HBM traffic, which a device profile showed as the
+        # top per-layer copy cost. f32 runs are unchanged.
         logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / math.sqrt(self.d_head)
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=q.dtype
+        ) / jnp.asarray(math.sqrt(self.d_head), q.dtype)
         if attn_mask is not None:
-            logits = jnp.where(attn_mask, NEG_INF, logits)
-        if key_padding_mask is not None:
-            logits = jnp.where(key_padding_mask[:, None, None, :], NEG_INF,
+            logits = jnp.where(attn_mask, jnp.asarray(NEG_INF, logits.dtype),
                                logits)
+        if key_padding_mask is not None:
+            logits = jnp.where(key_padding_mask[:, None, None, :],
+                               jnp.asarray(NEG_INF, logits.dtype), logits)
         # f32 softmax; only the v.dtype probs are kept for backward
         # (ops/softmax.py — in f32 mode this is exactly jax.nn.softmax)
         attn = softmax_lowp(logits, v.dtype)
@@ -289,9 +296,11 @@ class MultiHeadAttentionSpatial(nnx.Module):
         q = self.w_qs(q_in).reshape(B, L, H, dh).transpose(0, 2, 1, 3)
         k = self.w_ks(k_in).reshape(B, -1, H, dh).transpose(0, 2, 1, 3)
         v = self.w_vs(v_in).reshape(B, -1, H, dh).transpose(0, 2, 1, 3)
+        # compute-dtype logits (see MultiHeadAttention note): bf16 under
+        # mixed precision, f32 otherwise; softmax below upcasts to f32
         attn = jnp.einsum(
-            "bhlk,bhtk->bhlt", q, k, preferred_element_type=jnp.float32
-        ) / math.sqrt(dh)
+            "bhlk,bhtk->bhlt", q, k, preferred_element_type=q.dtype
+        ) / jnp.asarray(math.sqrt(dh), q.dtype)
 
         if self.spatial_attn_fusion in ["mul", "bias", "add"]:
             loc_attn = self.pairwise_loc_fc(pairwise_locs)  # (B,L,T,sh)
@@ -304,8 +313,8 @@ class MultiHeadAttentionSpatial(nnx.Module):
             loc = self.pairwise_loc_fc(pairwise_locs)  # (B,L,T,D)
             loc = loc.reshape(*loc.shape[:3], H, dh)  # (B,L,T,H,dh)
             loc_attn = jnp.einsum(
-                "bhlk,blthk->bhlt", q, loc, preferred_element_type=jnp.float32
-            ) / math.sqrt(dh)
+                "bhlk,blthk->bhlt", q, loc, preferred_element_type=q.dtype
+            ) / jnp.asarray(math.sqrt(dh), q.dtype)
         elif self.spatial_attn_fusion == "cond":
             sw = self.lang_cond_fc(residual)  # (B,L,sh*(sd+1))
             sw = sw.reshape(B, L, self.spatial_n_head, self.spatial_dim + 1)

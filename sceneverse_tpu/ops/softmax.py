@@ -30,24 +30,30 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
-def softmax_lowp(logits, out_dtype):
-    """f32 softmax over the last axis, result cast to ``out_dtype``; backward
-    keeps only the ``out_dtype`` probabilities."""
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _softmax_lowp(logits, out_dtype, in_dtype):
     p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     return p.astype(out_dtype)
 
 
-def _fwd(logits, out_dtype):
-    p = softmax_lowp(logits, out_dtype)
+def _fwd(logits, out_dtype, in_dtype):
+    p = _softmax_lowp(logits, out_dtype, in_dtype)
     return p, p
 
 
-def _bwd(out_dtype, p, g):
+def _bwd(out_dtype, in_dtype, p, g):
     pf = p.astype(jnp.float32)
     gf = g.astype(jnp.float32)
     s = jnp.sum(pf * gf, axis=-1, keepdims=True)
-    return (pf * (gf - s),)
+    # cotangent MUST carry the primal logits dtype (bf16 logits under mixed
+    # precision) — upstream VJPs (e.g. lax.div of the scale) require it
+    return ((pf * (gf - s)).astype(in_dtype),)
 
 
-softmax_lowp.defvjp(_fwd, _bwd)
+_softmax_lowp.defvjp(_fwd, _bwd)
+
+
+def softmax_lowp(logits, out_dtype):
+    """f32 softmax over the last axis, result cast to ``out_dtype``; backward
+    keeps only the ``out_dtype`` probabilities."""
+    return _softmax_lowp(logits, jnp.dtype(out_dtype), logits.dtype)

@@ -129,3 +129,16 @@ def test_debug_trainer_iterates_dataloaders(data_root, tmp_path, capsys):
     trainer = build_trainer(cfg)
     trainer.run()
     assert "all dataloaders iterated" in capsys.readouterr().out
+
+
+def test_gps_pretrain_mixed_precision(data_root, tmp_path):
+    """Full trainer e2e with mixed_precision=bf16 — exercises the bf16
+    compute paths (bf16 attention logits, low-precision softmax/CE VJP
+    residuals) that f32 tests never trace. Guards against dtype-mismatch
+    regressions in custom VJPs (cotangent dtype must equal primal dtype)."""
+    cfg = gps_cfg(data_root, tmp_path)
+    cfg.mixed_precision = "bf16"
+    trainer = build_trainer(cfg)
+    results = trainer.run()
+    assert trainer.global_step > 0
+    assert all(np.isfinite(v) for v in results.values() if np.isscalar(v))
