@@ -37,7 +37,16 @@ class BertLMPredictionHead(nnx.Module):
         self.bias = nnx.Param(jnp.zeros((vocab_size,)))
 
     def __call__(self, x):
-        return self.decoder(self.transform(x)) + self.bias[...]
+        h = self.decoder(self.transform(x))
+        # Bias add in the decoder's compute dtype: under mixed precision the
+        # (B,L,30522) logits stay bf16 instead of being promoted to f32 by
+        # the f32 bias param (~780 MB/step of extra HBM traffic at B=128 —
+        # device trace). The cross-entropy loss upcasts to f32 internally
+        # (loss.py), so only logit storage is rounded — the same precision
+        # contract as the bf16 attention scores. f32 runs are unchanged.
+        # (torch autocast would promote this add; deliberate deviation,
+        # reference modules/heads/pretrain_head.py:23-33.)
+        return h + self.bias[...].astype(h.dtype)
 
 
 @HEADS_REGISTRY.register()
