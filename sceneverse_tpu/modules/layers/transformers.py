@@ -327,7 +327,15 @@ class MultiHeadAttentionSpatial(nnx.Module):
                 jnp.einsum("bhld,bltd->bhlt", spatial_weights, pairwise_locs)
                 + spatial_bias
             )
-            loc_attn = jax.nn.sigmoid(loc_attn)
+            # log-domain directly: log(clip(sigmoid(x), 1e-6)) ==
+            # max(log_sigmoid(x), log 1e-6) exactly (monotone log; sigmoid<=1
+            # so only the lower clip binds). One transcendental instead of
+            # sigmoid+log over the (B,H,L,T) tensor, and log_sigmoid is the
+            # numerically stabler form for saturated gates.
+            loc_attn = jnp.maximum(
+                jax.nn.log_sigmoid(loc_attn),
+                jnp.asarray(math.log(1e-6), loc_attn.dtype),
+            )
 
         # NOTE: a fused-attention (flash, ab=spatial bias) variant of this
         # layer was measured SLOWER than XLA at GPS shapes (L=80: 840 -> 748
@@ -338,7 +346,13 @@ class MultiHeadAttentionSpatial(nnx.Module):
         if key_padding_mask is not None:
             mask = key_padding_mask[:, None, None, :]  # (B,1,1,T)
             attn = jnp.where(mask, NEG_INF, attn)
-            if self.spatial_attn_fusion in ["mul", "cond"]:
+            if self.spatial_attn_fusion == "cond":
+                # already log-domain: masked reference value is
+                # log(clip(0, 1e-6)) = log 1e-6
+                loc_attn = jnp.where(
+                    mask, jnp.asarray(math.log(1e-6), loc_attn.dtype), loc_attn
+                )
+            elif self.spatial_attn_fusion == "mul":
                 loc_attn = jnp.where(mask, 0.0, loc_attn)
             else:
                 loc_attn = jnp.where(mask, NEG_INF, loc_attn)
@@ -349,10 +363,12 @@ class MultiHeadAttentionSpatial(nnx.Module):
                 + jax.nn.softmax(loc_attn.astype(jnp.float32), axis=3)
             ) / 2
         else:
-            if self.spatial_attn_fusion in ["mul", "cond"]:
+            if self.spatial_attn_fusion == "mul":
                 fused_attn = (
                     jnp.log(jnp.clip(loc_attn, min=1e-6)).astype(attn.dtype) + attn
                 )
+            elif self.spatial_attn_fusion == "cond":
+                fused_attn = loc_attn.astype(attn.dtype) + attn
             else:
                 fused_attn = loc_attn + attn
             # f32 softmax, v.dtype-only backward residual (ops/softmax.py)
