@@ -79,6 +79,17 @@ class _OpenVocabBase(BaseModel):
         else:
             raise ValueError(
                 f"model.remat_policy: {policy_name!r}; valid: full, dots")
+        # cfg.model.lm_max_predictions: K > 0 gathers the K masked text
+        # positions (stable order) before the masked-LM head, so the
+        # (seq, 30522) logits shrink to (K, 30522) — the original BERT's
+        # TPU `max_predictions_per_seq` design. EXACT when the per-sequence
+        # masked count <= K (CE/accuracy reduce over labels != -1, and the
+        # gather carries every masked position exactly once); overflow
+        # positions beyond K are dropped (P(Binom(50,0.15) > 16) ~ 1e-3 —
+        # at most one lost prediction slot on rare sequences). The reference
+        # computes all positions and masks (modules/heads/pretrain_head.py:
+        # 36-43 + F.cross_entropy ignore) — same math, 3x the vocab traffic.
+        self.lm_max_predictions = int(cfg.model.get("lm_max_predictions", 0))
 
     def _tower(self, name, module, *args):
         if name in self.remat:
@@ -116,6 +127,25 @@ class _OpenVocabBase(BaseModel):
             return [("point_encoder", "point_feature_extractor")]
         return []
 
+    def _lm_head_inputs(self, language_fuse, data_dict, out):
+        """Masked-position gather for the LM head (see lm_max_predictions in
+        __init__). Returns the (possibly gathered) text embeddings and
+        overrides out["masked_lm_labels"] with the aligned gathered labels so
+        every consumer (lm_cls_loss, PretrainEval) stays unchanged."""
+        K = self.lm_max_predictions
+        labels = data_dict.get("masked_lm_labels")
+        if not K or labels is None or K >= language_fuse.shape[1]:
+            return language_fuse
+        if labels.ndim == 3:  # per-scene: language_fuse runs at (B*L, T, D)
+            labels = labels.reshape(language_fuse.shape[0], labels.shape[-1])
+        masked = labels != -1
+        # stable argsort of (not masked): masked positions first, original
+        # order preserved; pad slots point at unmasked positions whose
+        # gathered label is -1, which the CE/accuracy reductions ignore
+        idx = jnp.argsort(~masked, axis=1)[:, :K]
+        out["masked_lm_labels"] = jnp.take_along_axis(labels, idx, axis=1)
+        return jnp.take_along_axis(language_fuse, idx[..., None], axis=1)
+
     def _run_heads(self, out, language_fuse, point_fuse, point_pre, data_dict):
         if getattr(self, "ground_head", None) is not None:
             txt_cls_logits, obj_cls_post, obj_cls_pre, og3d_logits = self.ground_head(
@@ -130,7 +160,8 @@ class _OpenVocabBase(BaseModel):
                 point_fuse, data_dict["obj_masks"], language_fuse, data_dict["txt_masks"]
             )
         if getattr(self, "pretrain_head", None) is not None:
-            output = self.pretrain_head(language_fuse, point_fuse)
+            lm_in = self._lm_head_inputs(language_fuse, data_dict, out)
+            output = self.pretrain_head(lm_in, point_fuse)
             if isinstance(output, tuple):
                 out["txt_lm_cls_logits"], out["obj_cls_post_logits"] = output
             else:
@@ -263,7 +294,8 @@ class OpenVocabPerScene(_OpenVocabBase):
                 point_fuse, masks["obj_masks"], language_fuse, masks["txt_masks"]
             )
         if getattr(self, "pretrain_head", None) is not None:
-            output = self.pretrain_head(language_fuse, point_fuse)
+            lm_in = self._lm_head_inputs(language_fuse, data_dict, out)
+            output = self.pretrain_head(lm_in, point_fuse)
             if isinstance(output, tuple):
                 out["txt_lm_cls_logits"], out["obj_cls_post_logits"] = output
             else:

@@ -332,3 +332,60 @@ def test_cross_entropy_lean_vjp_matches_naive():
             np.testing.assert_allclose(
                 np.asarray(g_got, np.float32), np.asarray(g_want, np.float32),
                 atol=tol, rtol=tol)
+
+
+def test_lm_max_predictions_exact_equivalence():
+    """model.lm_max_predictions=K gathers the masked text positions before
+    the LM head (openvocab.py _lm_head_inputs). When every sequence has
+    <= K masked positions this is EXACT: loss, grads, and PretrainEval's
+    lang_cls_acc_mask match the full-sequence path (the gather carries each
+    masked position exactly once; the per-row head math is row-independent)."""
+    import jax
+    from __graft_entry__ import _gps_batch, _gps_cfg
+    from sceneverse_tpu.evaluator.pretrain_eval import PretrainEval
+    from sceneverse_tpu.optim.build import build_optim
+
+    K = 4
+    batch = _gps_batch(3, 6, 64, 12, cap_len=8, vocab=128, seed=3)
+    # trim rows to <= K masked positions (keep the first K) so the gathered
+    # path is exactly equivalent
+    labels = np.asarray(batch["masked_lm_labels"]).copy()
+    for row in labels:
+        hit = np.flatnonzero(row != -1)
+        row[hit[K:]] = -1
+    assert (labels != -1).any() and (labels != -1).sum(1).max() <= K
+    batch["masked_lm_labels"] = jnp.asarray(labels)
+
+    def run(k):
+        cfg = _gps_cfg(hidden=48, layers=1, num_obj=6, num_points=64,
+                       seq_len=12, vocab=128)
+        cfg.model.language.args.num_attention_heads = 4
+        cfg.model.vision.args.num_attention_heads = 4
+        cfg.model.grounding.args.num_attention_heads = 4
+        if k:
+            cfg.model.lm_max_predictions = k
+        model = build_model(cfg, rngs=nnx.Rngs(7))
+        model.train()
+        loss_mod, _, _, _ = build_optim(cfg, model, total_steps=10)
+
+        def loss_fn(model):
+            total, _ = loss_mod(model(dict(batch)))
+            return total
+
+        total, grads = nnx.value_and_grad(loss_fn)(model)
+        model.eval()
+        out = model(dict(batch))
+        assert out["txt_lm_cls_logits"].shape[1] == (k or 12)
+        metrics = PretrainEval(Config({}), None).batch_metrics(out)
+        return (float(total),
+                jax.tree_util.tree_leaves(nnx.to_pure_dict(grads)),
+                float(metrics["lang_cls_acc_mask"]))
+
+    t0, g0, acc0 = run(0)
+    t1, g1, acc1 = run(K)
+    np.testing.assert_allclose(t0, t1, rtol=1e-6)
+    np.testing.assert_allclose(acc0, acc1, rtol=1e-6)
+    assert len(g0) == len(g1)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
