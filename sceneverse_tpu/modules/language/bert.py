@@ -89,6 +89,20 @@ class BertSelfAttention(nnx.Module):
         H, dh = self.num_heads, self.head_dim
         split = lambda t: t.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
         q, k, v = split(self.query(x)), split(self.key(x)), split(self.value(x))
+        # bespoke fused path (ops/pallas/mha.py): consumes the HF additive
+        # mask row directly; prob-dropout runs in-kernel (same distribution,
+        # different stream than nnx.Dropout)
+        from sceneverse_tpu.ops.pallas.mha import fused_mha, fused_mha_enabled
+
+        if fused_mha_enabled():
+            from sceneverse_tpu.modules.layers.transformers import _dropout_seed
+
+            rate = (0.0 if self.dropout.deterministic else self.dropout.rate)
+            seed = _dropout_seed(self.dropout) if rate > 0.0 else None
+            out = fused_mha(q, k, v, pad_additive=attn_bias[:, 0, 0, :],
+                            dropout_rate=rate, seed=seed,
+                            scale=1.0 / math.sqrt(dh))
+            return out.transpose(0, 2, 1, 3).reshape(B, L, D)
         # fused (flash) path when prob-dropout is inactive (the kernel has
         # none; training keeps HF dropout semantics). attn_bias is the HF
         # additive mask (large negative at pads, (B,1,1,L)) — recover the

@@ -30,6 +30,14 @@ Array = jax.Array
 NEG_INF = float("-inf")
 
 
+def _dropout_seed(dropout: nnx.Dropout):
+    """Per-call int32 seed for the fused kernel's in-kernel prob-dropout,
+    drawn from the module's own dropout stream (stateful: each call — and
+    each scanned train step — advances it)."""
+    key = dropout.rngs()
+    return jax.random.key_data(key).reshape(-1)[-1:].astype(jnp.int32)
+
+
 def _linear(din, dout, rngs, use_bias=True):
     return nnx.Linear(
         din, dout, use_bias=use_bias,
@@ -88,11 +96,25 @@ class MultiHeadAttention(nnx.Module):
         else:
             q, k, v = self.q_proj(query), self.k_proj(key), self.v_proj(value)
         q, k, v = self._split(q), self._split(k), self._split(v)
-        # fused (flash) path: only when attention dropout is inactive — the
-        # kernel has no prob-dropout, and training must keep the reference's
-        # dropout semantics (reference transformers.py:139-141)
         dropout_off = (self.attn_dropout.rate == 0.0
                        or self.attn_dropout.deterministic)
+        # bespoke fused path (ops/pallas/mha.py): scores/probs/dropout masks
+        # stay in VMEM; prob-dropout runs on the in-kernel PRNG (identical
+        # distribution, different stream than nnx.Dropout's threefry)
+        from sceneverse_tpu.ops.pallas.mha import fused_mha, fused_mha_enabled
+
+        if attn_mask is None and fused_mha_enabled():
+            rate = 0.0 if dropout_off else self.attn_dropout.rate
+            seed = _dropout_seed(self.attn_dropout) if rate > 0.0 else None
+            out = fused_mha(q, k, v, key_padding_mask=key_padding_mask,
+                            dropout_rate=rate, seed=seed,
+                            scale=1.0 / math.sqrt(self.d_head))
+            B, H, T, dh = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
+            return self.out_proj(out), None
+        # generic flash path: only when attention dropout is inactive — that
+        # kernel has no prob-dropout, and training must keep the reference's
+        # dropout semantics (reference transformers.py:139-141)
         from sceneverse_tpu.ops.pallas.attention import flash_enabled
 
         if dropout_off and attn_mask is None and flash_enabled():
@@ -296,6 +318,21 @@ class MultiHeadAttentionSpatial(nnx.Module):
         q = self.w_qs(q_in).reshape(B, L, H, dh).transpose(0, 2, 1, 3)
         k = self.w_ks(k_in).reshape(B, -1, H, dh).transpose(0, 2, 1, 3)
         v = self.w_vs(v_in).reshape(B, -1, H, dh).transpose(0, 2, 1, 3)
+        # bespoke fused path for the GPS 'cond' fusion: the spatial gate is
+        # computed IN-KERNEL from the (B, H, L, 6) conditional weights and
+        # the pairwise locations — the (B, H, L, T) gate/score/prob tensors
+        # never leave VMEM (ops/pallas/mha.py)
+        from sceneverse_tpu.ops.pallas.mha import fused_mha, fused_mha_enabled
+
+        if (self.spatial_attn_fusion == "cond" and self.spatial_multihead
+                and fused_mha_enabled()):
+            sw = self.lang_cond_fc(residual)
+            sw = sw.reshape(B, L, H, self.spatial_dim + 1).transpose(0, 2, 1, 3)
+            out = fused_mha(q, k, v, key_padding_mask=key_padding_mask,
+                            gate_sw=sw, locs=pairwise_locs,
+                            scale=1.0 / math.sqrt(dh))
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, self.d_model)
+            return self.fc(out), None
         # compute-dtype logits (see MultiHeadAttention note): bf16 under
         # mixed precision, f32 otherwise; softmax below upcasts to f32
         attn = jnp.einsum(
