@@ -101,7 +101,7 @@ class BertSelfAttention(nnx.Module):
             seed = _dropout_seed(self.dropout) if rate > 0.0 else None
             out = fused_mha(q, k, v, pad_additive=attn_bias[:, 0, 0, :],
                             dropout_rate=rate, seed=seed,
-                            scale=1.0 / math.sqrt(dh))
+                            scale=1.0 / math.sqrt(dh)).astype(v.dtype)
             return out.transpose(0, 2, 1, 3).reshape(B, L, D)
         # fused (flash) path when prob-dropout is inactive (the kernel has
         # none; training keeps HF dropout semantics). attn_bias is the HF

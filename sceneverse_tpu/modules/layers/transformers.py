@@ -330,7 +330,7 @@ class MultiHeadAttentionSpatial(nnx.Module):
             sw = sw.reshape(B, L, H, self.spatial_dim + 1).transpose(0, 2, 1, 3)
             out = fused_mha(q, k, v, key_padding_mask=key_padding_mask,
                             gate_sw=sw, locs=pairwise_locs,
-                            scale=1.0 / math.sqrt(dh))
+                            scale=1.0 / math.sqrt(dh)).astype(v.dtype)
             out = out.transpose(0, 2, 1, 3).reshape(B, L, self.d_model)
             return self.fc(out), None
         # compute-dtype logits (see MultiHeadAttention note): bf16 under
