@@ -174,31 +174,42 @@ class OpenVocab(_OpenVocabBase):
     def __init__(self, cfg, *, rngs: nnx.Rngs):
         super().__init__(cfg, rngs=rngs)
         self.use_scene_cap = cfg.data.args.get("use_scene_cap", False)
+        self.split_scene_cap_tower = bool(
+            cfg.model.get("split_scene_cap_tower", False))
 
     def __call__(self, data_dict: dict) -> dict:
         out = dict(data_dict)
         if self.use_scene_cap and "scene_txt_ids" in data_dict:
-            # run utterances + scene captions through the text tower as ONE
-            # batched call (pad to the longer length, concat on batch): the
-            # tiny-sequence BERT is dispatch/latency-bound on TPU, and padded
-            # positions are exactly masked out so per-position outputs are
-            # unchanged (reference runs two separate BertModel calls,
-            # model/openvocab.py:49-55 — same math, half the launches)
             txt_ids, txt_masks = data_dict["txt_ids"], data_dict["txt_masks"]
             sc_ids, sc_masks = data_dict["scene_txt_ids"], data_dict["scene_txt_masks"]
             B, L = txt_ids.shape
-            M = max(L, sc_ids.shape[1])
+            if self.split_scene_cap_tower:
+                # two tower calls at each sequence's NATURAL length
+                # (reference model/openvocab.py:49-55 runs two BertModel
+                # calls too). Under jit there is no per-call launch cost;
+                # the concat path below pads the utterances to the caption
+                # length (50 -> 64 at GPS shapes, ~11% wasted rows and a
+                # (64/50)^2 attention blow-up on the utterance half).
+                # Padded positions are exactly masked in both, so outputs
+                # match to XLA-reassociation order.
+                lang_feats = self._lang(txt_ids, txt_masks)
+                out["scene_text_embed"] = self._lang(sc_ids, sc_masks)[:, 0]
+            else:
+                # one batched call (pad to the longer length, concat on
+                # batch) — fewer, larger fusions (default; the split
+                # variant above is the A/B knob, numbers in BASELINE.md)
+                M = max(L, sc_ids.shape[1])
 
-            def pad(x, mode_val=0):
-                return jnp.pad(x, ((0, 0), (0, M - x.shape[1])),
-                               constant_values=mode_val)
+                def pad(x, mode_val=0):
+                    return jnp.pad(x, ((0, 0), (0, M - x.shape[1])),
+                                   constant_values=mode_val)
 
-            feats = self._lang(
-                jnp.concatenate([pad(txt_ids), pad(sc_ids)], axis=0),
-                jnp.concatenate([pad(txt_masks), pad(sc_masks)], axis=0),
-            )
-            lang_feats = feats[:B, :L]
-            out["scene_text_embed"] = feats[B:, 0]
+                feats = self._lang(
+                    jnp.concatenate([pad(txt_ids), pad(sc_ids)], axis=0),
+                    jnp.concatenate([pad(txt_masks), pad(sc_masks)], axis=0),
+                )
+                lang_feats = feats[:B, :L]
+                out["scene_text_embed"] = feats[B:, 0]
         else:
             lang_feats = self._lang(data_dict["txt_ids"], data_dict["txt_masks"])
 

@@ -389,3 +389,30 @@ def test_lm_max_predictions_exact_equivalence():
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_split_scene_cap_tower_equivalence():
+    """model.split_scene_cap_tower runs utterances and scene captions as two
+    natural-length tower calls instead of one padded concat call — padded
+    positions are exactly masked in both, so model outputs match."""
+    import jax
+    from __graft_entry__ import _gps_batch, _gps_cfg
+
+    batch = _gps_batch(2, 6, 64, 8, cap_len=12)
+
+    def run(split):
+        cfg = _gps_cfg(hidden=48, layers=1, num_obj=6, num_points=64,
+                       seq_len=8, vocab=128)
+        cfg.model.language.args.num_attention_heads = 4
+        cfg.model.vision.args.num_attention_heads = 4
+        cfg.model.grounding.args.num_attention_heads = 4
+        if split:
+            cfg.model.split_scene_cap_tower = True
+        model = build_model(cfg, rngs=nnx.Rngs(7))
+        model.eval()
+        out = model(dict(batch))
+        return out["og3d_logits"], out["scene_text_embed"], out["txt_lm_cls_logits"]
+
+    for a, b in zip(run(False), run(True)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
