@@ -416,3 +416,29 @@ def test_split_scene_cap_tower_equivalence():
     for a, b in zip(run(False), run(True)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_lm_max_predictions_perscene_3d_labels():
+    """The masked-position gather handles the per-scene variant, where
+    language runs at (B*L, T, D) and masked_lm_labels arrives (B, L, T)."""
+    cfg = tiny_gps_cfg()
+    cfg.model.name = "OpenVocabPerScene"
+    cfg.model.lm_max_predictions = 3
+    model = build_model(cfg, rngs=nnx.Rngs(0))
+    model.eval()
+    b = gps_batch()
+    B, Lsent, T = 2, 3, 7
+    r = np.random.RandomState(1)
+    b["txt_ids"] = jnp.asarray(r.randint(0, 100, (B, Lsent, T)))
+    b["txt_masks"] = jnp.ones((B, Lsent, T), jnp.int32)
+    b["tgt_object_id"] = jnp.asarray(r.randint(0, 5, (B, Lsent)))
+    labels = np.full((B, Lsent, T), -1)
+    labels[:, :, 2] = r.randint(0, 100, (B, Lsent))  # 1 masked pos per sent
+    b["masked_lm_labels"] = jnp.asarray(labels)
+    out = model(b)
+    assert out["txt_lm_cls_logits"].shape == (B * Lsent, 3, 100)
+    assert out["masked_lm_labels"].shape == (B * Lsent, 3)
+    got = np.asarray(out["masked_lm_labels"])
+    # first gathered slot is the masked position's label, rest are -1 pads
+    np.testing.assert_array_equal(got[:, 0], labels[:, :, 2].reshape(-1))
+    assert (got[:, 1:] == -1).all()
