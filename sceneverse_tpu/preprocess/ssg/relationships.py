@@ -267,3 +267,72 @@ def find_middle_furniture(ids, nodes, tol=0.3):
         if np.linalg.norm(pm - mid) < tol and nodes[a].label == nodes[b].label:
             out.append([a, m, b, "middle"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Camera-relative + global-position relations (reference
+# preprocess/ssg/relationships/camera.py:5-70). NOTE: the reference never
+# imports or calls these functions anywhere (verified: no `import camera` in
+# the tree) — they are dead code there. Implemented for surface completeness
+# and exposed as an optional pass; not wired into ssg_main's default output,
+# matching the reference's effective behavior.
+# ---------------------------------------------------------------------------
+def _linear_equation(p1x, p1y, p2x, p2y):
+    """(reference camera.py:5-13): signed line coefficients through 2 points."""
+    sign = 1
+    a = p2y - p1y
+    if a < 0:
+        sign = -1
+        a = sign * a
+    b = sign * (p1x - p2x)
+    c = sign * (p1y * p2x - p1x * p2y)
+    return a, b, c
+
+
+def cal_global_position(obj, floor, distance_rate=1.6):
+    """(reference camera.py:16-31, sic 'cal_glocal_position'): 'in the
+    center' / 'in the corner' of the room by 2-D distance to the floor
+    node's center / bottom-rect corners."""
+    tgt = obj.position
+    if float(np.linalg.norm(tgt[:2] - floor.position[:2])) < distance_rate:
+        return "in the center"
+    for point in floor.bottom_rect:
+        if float(np.linalg.norm(tgt[:2] - np.asarray(point)[:2])) < distance_rate:
+            return "in the corner"
+    return None
+
+
+def cal_camera_relations(nodes, camera_position, camera_view, inst_count,
+                         floor_idx, fov=60):
+    """(reference camera.py:34-70): per object, an FOV-based relation to the
+    fixed camera ('in front of' / 'behind' / 'left' / 'right', camera id
+    '-1'), plus a self-referential global-position relation for labels with
+    more than one instance."""
+    camera_position = np.asarray(camera_position, np.float64)
+    camera_view = np.asarray(camera_view, np.float64)
+    relationships = []
+    for obj_id, node in nodes.items():
+        if node.label == "floor":
+            continue
+        vector = node.position - camera_position
+        vector = vector / np.linalg.norm(vector)
+        angle = get_theta(vector, camera_view)
+        a, b, c = _linear_equation(
+            camera_view[0] + camera_position[0],
+            camera_view[1] + camera_position[1],
+            camera_position[0], camera_position[1],
+        )
+        if abs(angle) < fov / 2:
+            rela = "in front of"
+        elif abs(angle) > 180 - fov / 2:
+            rela = "behind"
+        elif a * node.position[0] + b * node.position[1] + c > 0:
+            rela = "right" if camera_view[1] > 0 else "left"
+        else:
+            rela = "left" if camera_view[1] > 0 else "right"
+        relationships.append(["-1", obj_id, rela])
+        if inst_count.get(node.label, 0) > 1:
+            rela = cal_global_position(node, nodes[floor_idx])
+            if rela is not None:
+                relationships.append([obj_id, obj_id, rela])
+    return relationships

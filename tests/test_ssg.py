@@ -69,3 +69,35 @@ def test_generate_ssg_end_to_end(tmp_path):
         assert isinstance(entry["relationships"], list)
         # every scene gets at least floor-support or hanging relations
         assert len(entry["relationships"]) > 0
+
+
+def test_camera_relations():
+    """reference camera.py:34-70 semantics (dead code there — never imported;
+    implemented for surface completeness): FOV front/behind, left/right by
+    the camera sight line, and center/corner global positions for
+    multi-instance labels."""
+    from sceneverse_tpu.preprocess.ssg.objnode import ObjNode
+    from sceneverse_tpu.preprocess.ssg.relationships import (
+        cal_camera_relations,
+        cal_global_position,
+    )
+
+    # camera at origin looking along -y (ssg_main.init_camera_view)
+    cam_pos, cam_view = [0.0, 0.0, 0.0], [0.0, -1.0, 0.0]
+    nodes = {
+        "0": ObjNode("0", "floor", [0, 0, 0], [10, 10, 0.1]),
+        "1": ObjNode("1", "chair", [0, -3, 0.5], [1, 1, 1]),   # in front
+        "2": ObjNode("2", "chair", [0, 3, 0.5], [1, 1, 1]),    # behind
+        "3": ObjNode("3", "table", [-3, 0.2, 0.5], [1, 1, 1]),  # side
+    }
+    inst = {"chair": 2, "table": 1, "floor": 1}
+    rels = cal_camera_relations(nodes, cam_pos, cam_view, inst, "0")
+    bykey = {(s, t): r for s, t, r in rels}
+    assert bykey[("-1", "1")] == "in front of"
+    assert bykey[("-1", "2")] == "behind"
+    assert bykey[("-1", "3")] in ("left", "right")
+    # chair at distance 3 from center with rate 1.6: neither center nor corner
+    assert ("1", "1") not in bykey
+    # global position directly: center hit
+    assert cal_global_position(nodes["1"], nodes["0"], distance_rate=4.0) == \
+        "in the center"
