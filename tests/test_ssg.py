@@ -101,3 +101,22 @@ def test_camera_relations():
     # global position directly: center hit
     assert cal_global_position(nodes["1"], nodes["0"], distance_rate=4.0) == \
         "in the center"
+
+
+def test_ssg_visualize_renders_pngs(tmp_path):
+    """matplotlib analog of the reference's open3d ssg_visualize (open3d not
+    in image): one PNG per relation, incl. the rel[1]==-2 single-object
+    case."""
+    from sceneverse_tpu.preprocess.ssg.objnode import ObjNode
+    from sceneverse_tpu.preprocess.ssg.visualize import vis_dataset
+
+    root = write_synthetic_tree(tmp_path, n_scans=1)
+    scan = next((root / "scan_data/pcd_with_global_alignment").glob("*.pth")).stem
+    nodes = {
+        "1": ObjNode("1", "chair", [0, 0, 0.5], [1, 1, 1]),
+        "2": ObjNode("2", "table", [1.5, 0, 0.5], [1, 1, 1]),
+    }
+    rels = [["1", "2", "close to"], ["1", -2, "in the center"], ["bad"]]
+    out = vis_dataset(nodes, rels, root / "scan_data", scan,
+                      tmp_path / "vis", limit=8)
+    assert len(out) == 2 and all(p.exists() and p.stat().st_size > 0 for p in out)
