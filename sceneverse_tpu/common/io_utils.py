@@ -61,3 +61,61 @@ def load_numpy(filename):
 
 def save_numpy(data, filename):
     np.save(filename, data)
+
+
+def save_csv(data, filename, cols=None, delimiter=","):
+    """(reference io_utils.py:81-89)."""
+    with open(filename, "w", newline="") as f:
+        writer = csv.writer(f, delimiter=delimiter)
+        if cols is not None:
+            writer.writerow(cols)
+        writer.writerows(data)
+
+
+def load_yaml(filename):
+    """(reference io_utils.py:55-57)."""
+    import yaml
+
+    with open(filename) as f:
+        return yaml.safe_load(f)
+
+
+def save_yaml(data, filename):
+    """(reference io_utils.py:60-62)."""
+    import yaml
+
+    with open(filename, "w") as f:
+        yaml.dump(data, f, default_flow_style=False)
+
+
+def load_tensor(filename):
+    """(reference io_utils.py:100-102; torch.load of array payloads —
+    served by the CPU torch in this image)."""
+    import torch
+
+    return torch.load(filename, weights_only=False)
+
+
+def save_tensor(data, filename):
+    """(reference io_utils.py:104-106)."""
+    import torch
+
+    torch.save(data, filename)
+
+
+def load_ply(filepath):
+    """(reference io_utils.py:108-120): (vertices, faces) float/int arrays.
+    Native reader — no plyfile dependency (preprocess/mesh_io.py)."""
+    from sceneverse_tpu.preprocess.mesh_io import load_ply as _load
+
+    mesh = _load(filepath)
+    return np.asarray(mesh["vertices"], np.float64), mesh.get("faces")
+
+
+def load_imgs(img_paths, flag="color"):
+    """(reference io_utils.py:17-19, cv2.imread loop). cv2 is not in this
+    image; PIL serves the same decode."""
+    from PIL import Image
+
+    mode = {"color": "RGB", "gray": "L"}[flag]
+    return [np.asarray(Image.open(p).convert(mode)) for p in img_paths]
