@@ -325,7 +325,7 @@ class MultiHeadAttentionSpatial(nnx.Module):
         from sceneverse_tpu.ops.pallas.mha import fused_mha, fused_mha_enabled
 
         if (self.spatial_attn_fusion == "cond" and self.spatial_multihead
-                and fused_mha_enabled()):
+                and self.spatial_dim == 5 and fused_mha_enabled()):
             sw = self.lang_cond_fc(residual)
             sw = sw.reshape(B, L, H, self.spatial_dim + 1).transpose(0, 2, 1, 3)
             out = fused_mha(q, k, v, key_padding_mask=key_padding_mask,
