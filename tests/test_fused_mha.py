@@ -168,3 +168,24 @@ def test_modules_fused_vs_xla_paths(monkeypatch):
     for f, p in zip(fused, plain):
         np.testing.assert_allclose(np.asarray(f), np.asarray(p),
                                    rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("L,gate", [(130, False), (80, True), (50, False)])
+def test_fused_mha_gps_shapes(L, gate):
+    """Real GPS tower shapes (H=12, dh=64; unified L=130, spatial L=80 with
+    gate, lang L=50) through the kernel in interpret mode."""
+    B, H, dh = 2, 12, 64
+    q, k, v = (_rand(B, H, L, dh) for _ in range(3))
+    pad = jnp.asarray(rng.rand(B, L) > 0.85).at[:, 0].set(False)
+    scale = 1.0 / math.sqrt(dh)
+    kw = {}
+    if gate:
+        kw = dict(gate_sw=_rand(B, H, L, 6), locs=_rand(B, L, L, 5))
+    o = fused_mha(q, k, v, key_padding_mask=pad, scale=scale, interpret=True,
+                  **kw)
+    if gate:
+        want = ref_cond(q, k, v, kw["gate_sw"], kw["locs"], pad, scale)
+    else:
+        want = ref_plain(q, k, v, pad, scale)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
