@@ -388,3 +388,48 @@ def test_entity_spatial_cross_encoder_parity_vs_reference(ref):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_obj), want_obj.numpy(),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_spatial_encoder_layer_parity_vs_reference(ref):
+    """reference modules/layers/transformers.py:285-316
+    ``TransformerSpatialEncoderLayer`` ('cond' fusion) — the vision tower's
+    trainable stack (pcd_openvocab_encoder.py:77-88) — against ours after
+    conversion. Closes the last reference-import gap besides the CUDA
+    PointNet++ backbone itself."""
+    import jax.numpy as jnp
+    import torch
+    from flax import nnx
+
+    from sceneverse_tpu.ckpt.convert import (apply_to_model,
+                                             convert_torch_state_dict)
+    from sceneverse_tpu.modules.layers.transformers import (
+        TransformerSpatialEncoderLayer,
+    )
+
+    torch.manual_seed(5)
+    ref_layer = ref.tf.TransformerSpatialEncoderLayer(
+        HID, HEADS, dim_feedforward=FF, dropout=0.1,
+        spatial_dim=5, spatial_attn_fusion="cond")
+    ref_layer.eval()
+
+    mine = TransformerSpatialEncoderLayer(
+        HID, HEADS, dim_feedforward=FF, dropout=0.1,
+        spatial_dim=5, spatial_attn_fusion="cond", rngs=nnx.Rngs(0))
+    mine.eval()
+    converted = convert_torch_state_dict(dict(ref_layer.state_dict()))
+    loaded, missing, unexpected = apply_to_model(mine, converted)
+    assert not missing and not unexpected, (missing, unexpected)
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(B, O, HID).astype(np.float32)
+    locs = rng.randn(B, O, O, 5).astype(np.float32)
+    pad = np.zeros((B, O), bool)
+    pad[1, -1] = True
+
+    with torch.no_grad():
+        want, _ = ref_layer(torch.tensor(x), torch.tensor(locs),
+                            tgt_key_padding_mask=torch.tensor(pad))
+    got, _ = mine(jnp.asarray(x), jnp.asarray(locs),
+                  tgt_key_padding_mask=jnp.asarray(pad))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=2e-4, atol=2e-4)
