@@ -99,7 +99,7 @@ def _mha_fwd_kernel(q_ref, k_ref, v_ref, pad_ref, seed_ref, *rest,
     else:
         o_ref, lse_ref = rest
     b = pl.program_id(0)
-    padrow = pad_ref[:, :]  # (1, T) additive: 0 valid, -1e30 pad
+    padrow = pad_ref[0, :, :]  # (1, T) additive: 0 valid, -1e30 pad
     keep = 1.0 - rate
     for h in range(H):
         q = q_ref[0, h]  # (L, dh)
@@ -136,7 +136,7 @@ def _mha_bwd_kernel(q_ref, k_ref, v_ref, pad_ref, seed_ref, *rest,
     else:
         do_ref, o_ref, lse_ref, dq_ref, dk_ref, dv_ref = rest
     b = pl.program_id(0)
-    padrow = pad_ref[:, :]
+    padrow = pad_ref[0, :, :]
     keep = 1.0 - rate
     cdt = q_ref.dtype
     for h in range(H):
@@ -198,7 +198,11 @@ def _specs(B, H, L, T, dh, gate, extra=()):
     byb = lambda *shape: pl.BlockSpec(
         (1,) + shape, lambda b: (b,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
-    specs = [byb(H, L, dh), byb(H, T, dh), byb(H, T, dh), byb(T),
+    # pad row rides as (B, 1, T): Mosaic requires a block's sublane dim be
+    # 8-divisible OR equal to the array dim — (1, T) blocks of a (B, T)
+    # array violate that on real TPU (caught on-chip; interpret mode does
+    # not enforce it)
+    specs = [byb(H, L, dh), byb(H, T, dh), byb(H, T, dh), byb(1, T),
              pl.BlockSpec(memory_space=pltpu.SMEM)]
     if gate:
         specs += [byb(H, L, 8), byb(5, L, T)]
@@ -323,6 +327,7 @@ def fused_mha(q: Array, k: Array, v: Array,
         padadd = jnp.where(key_padding_mask, _NEG, 0.0).astype(jnp.float32)
     else:
         padadd = jnp.zeros((B, T), jnp.float32)
+    padadd = padadd[:, None, :]  # (B, 1, T): see _specs sublane note
     gate = gate_sw is not None
     if gate:
         sw8 = jnp.pad(gate_sw.astype(jnp.float32), ((0, 0),) * 3 + ((0, 2),))
