@@ -61,14 +61,16 @@ _NEG = -1e30
 
 
 def fused_mha_enabled() -> bool:
-    """Gate for the bespoke fused attention. Default OFF until measured on
-    the real chip (the generic flash kernel lost at these shapes; this one
-    is designed for them, but the tree keeps the known-good XLA path until
-    BASELINE.md records a win). Set SCENEVERSE_FUSED_MHA=on to enable;
-    'off' also forces the XLA path for bit-exact comparison against
-    reference checkpoints evaluated in f32 (the fused path differs only by
-    f32 score precision and per-call dropout streams)."""
-    v = os.environ.get(_GATE_ENV, "off").lower()
+    """Gate for the bespoke fused attention. Default ON for TPU backends:
+    measured 930.8 -> 995.6 scenes/s (+7.0%) on the full GPS train step at
+    batch 128 on v5e (BASELINE.md round 3b). Set SCENEVERSE_FUSED_MHA=off to
+    force the XLA path for bit-exact comparison against reference
+    checkpoints evaluated in f32 (on-chip the two paths differ at MXU
+    bf16-rounding level — loss rel ~3e-5 — because XLA's default-precision
+    f32 matmuls and the kernel's round differently; interpret-mode grads
+    match exactly on all leaves, tests/test_fused_mha.py) and for
+    per-call-identical dropout streams."""
+    v = os.environ.get(_GATE_ENV, "on").lower()
     if v in ("1", "on", "true"):
         return jax.default_backend() == "tpu"
     return False
