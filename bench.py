@@ -28,11 +28,12 @@ os.environ.setdefault("SCENEVERSE_PALLAS_FAST", "1")
 
 A100_SCENES_PER_SEC = 128.0  # estimated reference throughput per A100 at batch 64
 
-# Per-chip batch 128: at dp=4 this is global batch 512 — exactly the
-# reference's pretrain configuration (8 GPUs x 64, all_pretrain.yaml:8) —
-# and amortizes the small-sequence tower dispatch overhead ~15% better than
-# per-chip 64 on v5e.
-BATCH = int(os.environ.get("SCENEVERSE_BENCH_BATCH", 128))
+# Per-chip batch 192: the measured v5e throughput optimum once the fused
+# attention kernel removed the (B,H,L,T) score/prob/dropout residual chain
+# from HBM (128 -> 1035.9, 192 -> 1043-1046 scenes/s; it OOM'd in every
+# earlier round). Batch 128 (= the reference's exact global 512 at dp=4,
+# all_pretrain.yaml:8) remains one env var away.
+BATCH = int(os.environ.get("SCENEVERSE_BENCH_BATCH", 192))
 NUM_OBJ = 80
 NUM_POINTS = 1024
 SEQ_LEN = 50

@@ -127,7 +127,7 @@ def _mha_fwd_kernel(q_ref, k_ref, v_ref, pad_ref, seed_ref, *rest,
         o_ref[0, h] = jax.lax.dot_general(
             pn, v_ref[0, h], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ).astype(o_ref.dtype)
 
 
 def _mha_bwd_kernel(q_ref, k_ref, v_ref, pad_ref, seed_ref, *rest,
@@ -236,7 +236,13 @@ def _mha_fwd(q, k, v, padadd, sw8, locs5, seed, scale, rate, gate, interpret):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, L, dh), jnp.float32),
+            # o in the input compute dtype: the callers feed it straight to
+            # the out-projection matmul, so an f32 o would cost a full HBM
+            # round trip (write f32, read f32, write bf16 — a device trace
+            # showed the convert+head-merge fusions at ~3.5 ms each at
+            # batch 192). The PV dot still accumulates f32 in the MXU;
+            # only the stored result rounds. f32-in stays f32-out (exact).
+            jax.ShapeDtypeStruct((B, H, L, dh), q.dtype),
             jax.ShapeDtypeStruct((B, H, L, 1), jnp.float32),
         ),
         interpret=interpret,
@@ -273,8 +279,11 @@ def _fused_bwd(scale, rate, gate, interpret, res, g):
     if gate:
         out_specs.append(byb(H, L, 8))
         out_shape.append(jax.ShapeDtypeStruct(sw8.shape, jnp.float32))
+    # g rides in its native dtype (= the primal output dtype); the kernel
+    # upcasts per-head in VMEM — an .astype(f32) here would materialize a
+    # full (B, H, L, dh) f32 copy in HBM first
     ops = ([q, k, v, padadd, seed] + ([sw8, locs5] if gate else [])
-           + [g.astype(jnp.float32), o, lse])
+           + [g, o, lse])
     outs = pl.pallas_call(
         kern,
         grid=(B,),
@@ -307,7 +316,8 @@ def fused_mha(q: Array, k: Array, v: Array,
     """softmax(q k^T * scale [+ cond-gate] + pad) @ v, fused in VMEM.
 
     Args:
-      q, k, v: (B, H, L/T, dh), any float dtype (compute dtype in, f32 out).
+      q, k, v: (B, H, L/T, dh), any float dtype (compute dtype in and out;
+        scores/softmax/lse stay f32 in VMEM regardless).
       key_padding_mask: (B, T) bool, True = PAD key (torch convention), OR
       pad_additive: (B, T) f32 additive logit row (e.g. HF's -1e4 bias) —
         exactly one of the two.
@@ -319,7 +329,7 @@ def fused_mha(q: Array, k: Array, v: Array,
       seed: (1,) int32 PRNG seed for dropout (per (batch, head) streams
         derived in-kernel; backward regenerates the identical mask).
     Returns:
-      (B, H, L, dh) float32.
+      (B, H, L, dh) in q.dtype (f32 accumulation, rounded on store).
     """
     B, H, L, dh = q.shape
     T = k.shape[2]
