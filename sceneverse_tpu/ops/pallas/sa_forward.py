@@ -157,6 +157,65 @@ def _fps_kernel(pts_ref, newxyz_ref, *, npoint, n, bo):
     _fps_inline(x, y, z, lane, newxyz_ref, npoint=npoint, n=n, bo=bo)
 
 
+def _fps_kernel_t(pts_ref, newxyz_ref, *, npoint, n, bo):
+    """LANE-TRANSPOSED standalone FPS: objects on LANES, points on sublanes.
+
+    pts_ref (3, n, bo) f32; newxyz_ref (8, npoint, bo) f32.
+
+    At small n (SA2: n=32) the row-oriented `_fps_kernel` fills only n/128
+    of each vreg's lanes — every (bo, n) array occupies 4x the vregs its
+    payload needs, so each of the npoint sequential FPS steps issues ~4x
+    the vector ops. Putting OBJECTS on lanes packs vregs full at any block
+    width: per-object reductions (the argmax over candidate points, the
+    one-hot coordinate extraction) become sublane reductions, which the VPU
+    supports directly. Same elementwise math, exact one-hot sums and
+    segment max -> outputs are bit-identical to `_fps_kernel`. Measured
+    (v5e, SA2 shapes G=5120, n=32, m=16): FPS phase 5.4 -> 1.6 ms.
+    """
+    x = pts_ref[0, :, :]  # (n, bo)
+    y = pts_ref[1, :, :]
+    z = pts_ref[2, :, :]
+    row = lax.broadcasted_iota(jnp.int32, (n, bo), 0)
+    valid = (x * x + y * y + z * z) > 1e-3
+    m_iota = lax.broadcasted_iota(jnp.int32, (npoint, bo), 0)
+    zeros_m = jnp.zeros((npoint, bo), jnp.float32)
+
+    def fps_body(j, carry):
+        old, mindist, cxa, cya, cza = carry  # old: (1, bo) int32
+        sel = row == old
+        xi = jnp.sum(jnp.where(sel, x, 0.0), axis=0, keepdims=True)  # (1,bo)
+        yi = jnp.sum(jnp.where(sel, y, 0.0), axis=0, keepdims=True)
+        zi = jnp.sum(jnp.where(sel, z, 0.0), axis=0, keepdims=True)
+        put = m_iota == (j - 1)
+        cxa = jnp.where(put, xi, cxa)
+        cya = jnp.where(put, yi, cya)
+        cza = jnp.where(put, zi, cza)
+        d = (x - xi) ** 2 + (y - yi) ** 2 + (z - zi) ** 2
+        mindist = jnp.minimum(mindist, d)
+        best = jnp.max(mindist, axis=0, keepdims=True)
+        new = jnp.min(
+            jnp.where(mindist == best, row, n), axis=0, keepdims=True
+        ).astype(jnp.int32)
+        return new, mindist, cxa, cya, cza
+
+    init = (jnp.zeros((1, bo), jnp.int32),
+            jnp.where(valid, 1e10, -1.0),
+            zeros_m, zeros_m, zeros_m)
+    last, _, cxa, cya, cza = lax.fori_loop(1, npoint, fps_body, init)
+    sel = row == last
+    put = m_iota == (npoint - 1)
+    cxa = jnp.where(put, jnp.sum(jnp.where(sel, x, 0.0), 0, keepdims=True),
+                    cxa)
+    cya = jnp.where(put, jnp.sum(jnp.where(sel, y, 0.0), 0, keepdims=True),
+                    cya)
+    cza = jnp.where(put, jnp.sum(jnp.where(sel, z, 0.0), 0, keepdims=True),
+                    cza)
+    newxyz_ref[0, :, :] = cxa
+    newxyz_ref[1, :, :] = cya
+    newxyz_ref[2, :, :] = cza
+    newxyz_ref[3:, :, :] = jnp.zeros((5, npoint, bo), jnp.float32)
+
+
 def _kernel(pts_ref, *refs, npoint, nsample, radius,
             n, bo, hs, stages=3, centers_in=False):
     """Block of ``bo`` objects. pts_ref (bo, C, N) f32, rows 0..2 = xyz.
@@ -391,7 +450,29 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
                      for s in (s1, s2, s3))
 
     centers = None
-    if split_fps:
+    if split_fps and N <= 128 and npoint % 8 == 0:
+        # lane-transposed FPS: objects on lanes (full vreg fill at small N).
+        # npoint must tile sublanes (8-divisible); N <= 128 keeps the
+        # (N, fbo) working set at one sublane-tile group per lane-tile.
+        fbo = fps_block_objects
+        while G % fbo != 0:
+            fbo //= 2
+        xyz_t = jnp.transpose(pts_t[:, 0:3, :], (1, 2, 0))  # (3, N, G)
+        centers_t = pl.pallas_call(
+            functools.partial(_fps_kernel_t, npoint=npoint, n=N, bo=fbo),
+            grid=(G // fbo,),
+            in_specs=[pl.BlockSpec((3, N, fbo), lambda g: (0, 0, g),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((8, npoint, fbo), lambda g: (0, 0, g),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, npoint, G), jnp.float32),
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(xyz_t)
+        centers = jnp.transpose(centers_t, (2, 0, 1))  # (G, 8, npoint)
+    elif split_fps:
         fbo = fps_block_objects
         while G % fbo != 0:
             fbo //= 2
