@@ -29,6 +29,10 @@ def parse_args(argv=None):
     parser.add_argument("--nodes", default=1, type=int)
     parser.add_argument("--coordinator", default=None,
                         help="coordinator_address host:port for spmd mode")
+    parser.add_argument("--port", default=8476, type=int,
+                        help="coordinator port for SLURM-derived topology "
+                             "(reference --main_process_port, "
+                             "launch_utils.py:31)")
     parser.add_argument("--num-processes", default=None, type=int)
     parser.add_argument("--process-id", default=None, type=int)
     parser.add_argument("--mixed_precision", default=None,
@@ -68,6 +72,40 @@ def spmd_launch(args):
     return _run(args.config, args.opts)
 
 
+class SubmititLauncher:
+    """Per-node payload submitit runs on every SLURM task.
+
+    Mirrors the reference's ``SubmititLauncher.__call__``/``_set_gpu_args``
+    (common/launch_utils.py:11-47): the reference derives ``machine_rank``
+    from ``submitit.JobEnvironment().global_rank`` and the coordinator host
+    from the first entry of ``$SLURM_JOB_NODELIST`` (launch_utils.py:16-18,
+    44-47). Here the same facts feed ``jax.distributed.initialize`` —
+    coordinator = first hostname:port, num_processes = tasks, process_id =
+    global rank (one process per TPU host; tasks_per_node=1)."""
+
+    def __init__(self, args):
+        self.args = args
+
+    def __call__(self):
+        import submitit
+
+        env = submitit.JobEnvironment()
+        args = self.args
+        if args.coordinator is None:
+            args.coordinator = f"{env.hostnames[0]}:{args.port}"
+        args.num_processes = env.num_tasks
+        args.process_id = env.global_rank
+        return spmd_launch(args)
+
+    def checkpoint(self):
+        """Requeue on timeout/preemption — the resilience the reference gets
+        from slurm_max_num_timeout=30 + signal_delay (launch_utils.py:60,72);
+        the re-run resumes from the snapshotted config (run.py resume flow)."""
+        import submitit
+
+        return submitit.helpers.DelayedSubmission(SubmititLauncher(self.args))
+
+
 def submitit_launch(args):
     try:
         import submitit
@@ -79,7 +117,7 @@ def submitit_launch(args):
         slurm_partition=args.partition, tasks_per_node=1,
         slurm_max_num_timeout=30, slurm_signal_delay_s=120,
     )
-    job = executor.submit(spmd_launch, args)
+    job = executor.submit(SubmititLauncher(args))
     print(f"submitted {job.job_id}")
     return job
 

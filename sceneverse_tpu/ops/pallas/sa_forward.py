@@ -450,47 +450,51 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
                      for s in (s1, s2, s3))
 
     centers = None
-    if split_fps and N <= 128 and npoint % 8 == 0:
+    if split_fps:
+        fbo = fps_block_objects
+        while G % fbo != 0:
+            fbo //= 2
         # lane-transposed FPS: objects on lanes (full vreg fill at small N).
         # npoint must tile sublanes (8-divisible); N <= 128 keeps the
-        # (N, fbo) working set at one sublane-tile group per lane-tile.
-        fbo = fps_block_objects
-        while G % fbo != 0:
-            fbo //= 2
-        xyz_t = jnp.transpose(pts_t[:, 0:3, :], (1, 2, 0))  # (3, N, G)
-        centers_t = pl.pallas_call(
-            functools.partial(_fps_kernel_t, npoint=npoint, n=N, bo=fbo),
-            grid=(G // fbo,),
-            in_specs=[pl.BlockSpec((3, N, fbo), lambda g: (0, 0, g),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((8, npoint, fbo), lambda g: (0, 0, g),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((8, npoint, G), jnp.float32),
-            interpret=interpret,
-            compiler_params=None if interpret else pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-        )(xyz_t)
-        centers = jnp.transpose(centers_t, (2, 0, 1))  # (G, 8, npoint)
-    elif split_fps:
-        fbo = fps_block_objects
-        while G % fbo != 0:
-            fbo //= 2
-        # FPS reads only xyz — stream a (G, 3, N) slice, not all C channels
-        # (SA2's C=131 would blow the double-buffered VMEM window at wide fbo)
+        # (N, fbo) working set at one sublane-tile group per lane-tile; and
+        # when the grid has >1 block the lane-dim block offsets g*fbo must be
+        # 128-aligned (Mosaic lane-store rule; interpret mode doesn't check).
+        transposed = (N <= 128 and npoint % 8 == 0
+                      and (fbo == G or fbo % 128 == 0))
+        if transposed:
+            kern = functools.partial(_fps_kernel_t, npoint=npoint, n=N,
+                                     bo=fbo)
+            in_spec = pl.BlockSpec((3, N, fbo), lambda g: (0, 0, g),
+                                   memory_space=pltpu.VMEM)
+            out_spec = pl.BlockSpec((8, npoint, fbo), lambda g: (0, 0, g),
+                                    memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((8, npoint, G), jnp.float32)
+            operand = jnp.transpose(pts_t[:, 0:3, :], (1, 2, 0))  # (3, N, G)
+        else:
+            # row-oriented fallback: fbo on sublanes only needs 8-alignment.
+            # FPS reads only xyz — stream a (G, 3, N) slice, not all C
+            # channels (SA2's C=131 would blow the double-buffered VMEM
+            # window at wide fbo).
+            kern = functools.partial(_fps_kernel, npoint=npoint, n=N, bo=fbo)
+            in_spec = pl.BlockSpec((fbo, 3, N), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            out_spec = pl.BlockSpec((fbo, 8, npoint), lambda g: (g, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((G, 8, npoint), jnp.float32)
+            operand = pts_t[:, 0:3, :]
         centers = pl.pallas_call(
-            functools.partial(_fps_kernel, npoint=npoint, n=N, bo=fbo),
+            kern,
             grid=(G // fbo,),
-            in_specs=[pl.BlockSpec((fbo, 3, N), lambda g: (g, 0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((fbo, 8, npoint), lambda g: (g, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((G, 8, npoint), jnp.float32),
+            in_specs=[in_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
             interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
-        )(pts_t[:, 0:3, :])
+        )(operand)
+        if transposed:
+            centers = jnp.transpose(centers, (2, 0, 1))  # (G, 8, npoint)
 
     kernel = functools.partial(
         _kernel, npoint=npoint, nsample=nsample, radius=float(radius),

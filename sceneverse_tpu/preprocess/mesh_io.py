@@ -92,3 +92,51 @@ def load_ply(path):
     if "face_objectId" in out:
         out["face_object_ids"] = out["face_objectId"].astype(np.int64)
     return out
+
+
+def save_ply(path, vertices, colors=None, faces=None):
+    """Write a binary_little_endian PLY (x/y/z f32, optional red/green/blue
+    u8 per vertex, optional triangle faces).
+
+    This is the file-output half of the reference's open3d visualization
+    surface (reference visualize_data.py:23-118 renders colored geometry
+    interactively; open3d is not in this image, so colored geometry exports
+    to .ply instead — openable in any external viewer). Round-trips through
+    :func:`load_ply`."""
+    vertices = np.ascontiguousarray(vertices, np.float32)
+    n = len(vertices)
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}",
+              "property float x", "property float y", "property float z"]
+    if colors is not None:
+        colors = np.ascontiguousarray(
+            np.clip(np.asarray(colors), 0, 255), np.uint8)
+        header += ["property uchar red", "property uchar green",
+                   "property uchar blue"]
+    if faces is not None:
+        faces = np.ascontiguousarray(faces, np.int32)
+        header += [f"element face {len(faces)}",
+                   "property list uchar int vertex_indices"]
+    header.append("end_header")
+
+    if colors is not None:
+        vdt = np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                        ("red", "u1"), ("green", "u1"), ("blue", "u1")])
+    else:
+        vdt = np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4")])
+    rows = np.empty(n, vdt)
+    rows["x"], rows["y"], rows["z"] = vertices[:, 0], vertices[:, 1], vertices[:, 2]
+    if colors is not None:
+        rows["red"], rows["green"], rows["blue"] = (
+            colors[:, 0], colors[:, 1], colors[:, 2])
+
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        f.write(rows.tobytes())
+        if faces is not None:
+            fdt = np.dtype([("n", "u1"), ("v", "<i4", (3,))])
+            frows = np.empty(len(faces), fdt)
+            frows["n"] = 3
+            frows["v"] = faces[:, :3]
+            f.write(frows.tobytes())
+    return path

@@ -51,9 +51,49 @@ def test_submitit_launch_with_stub(monkeypatch, tmp_path):
     assert calls["params"]["slurm_partition"] == "tpu-pod"
     assert calls["params"]["tasks_per_node"] == 1  # one process per TPU host
     fn, fnargs = calls["submit"]
-    assert fn is launch.spmd_launch and fnargs == (args,)
+    assert isinstance(fn, launch.SubmititLauncher) and fnargs == ()
+    assert calls["params"]["slurm_max_num_timeout"] == 30
+    assert calls["params"]["slurm_signal_delay_s"] == 120
     # fp16 maps to bf16's config override surface (reference launch.py:51-52)
     assert "mixed_precision=fp16" in args.opts
+
+    # --- per-node payload: replay the submitted callable on each of the
+    # 2 nodes with a fake SLURM JobEnvironment and assert the derived
+    # jax.distributed topology (reference launch_utils.py:16-18,44-47 derives
+    # machine_rank/main_process_ip the same way) ---
+    class _JobEnv:
+        hostnames = ["node-a", "node-b"]
+        num_tasks = 2
+
+        def __init__(self, rank):
+            self.global_rank = rank
+
+    spmd_calls = []
+    monkeypatch.setattr(launch, "spmd_launch",
+                        lambda a: spmd_calls.append(
+                            (a.coordinator, a.num_processes, a.process_id)))
+    for rank in range(2):
+        stub.JobEnvironment = lambda r=rank: _JobEnv(r)
+        node_args = launch.parse_args([
+            "--mode", "submitit", "--config", "configs/final/debug.yaml",
+            "--nodes", "2",
+        ])
+        launch.SubmititLauncher(node_args)()
+    assert spmd_calls == [("node-a:8476", 2, 0), ("node-a:8476", 2, 1)]
+
+    # requeue-on-preemption hook (reference slurm_max_num_timeout semantics)
+    resubs = []
+    helpers = types.ModuleType("submitit.helpers")
+
+    class _Delayed:
+        def __init__(self, fn):
+            resubs.append(fn)
+
+    helpers.DelayedSubmission = _Delayed
+    stub.helpers = helpers
+    monkeypatch.setitem(sys.modules, "submitit.helpers", helpers)
+    launch.SubmititLauncher(args).checkpoint()
+    assert len(resubs) == 1 and isinstance(resubs[0], launch.SubmititLauncher)
 
 
 def test_wandb_logger_branch_with_stub(monkeypatch, tmp_path):

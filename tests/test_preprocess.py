@@ -128,3 +128,73 @@ def test_rscan_processor_end_to_end(tmp_path):
     assert abs(vertices[:, 2].min()) < 1e-6
     # splits written
     assert (tmp_path / "out/split/train_split.txt").exists()
+
+
+def test_save_ply_round_trip(tmp_path):
+    """save_ply (the file-output half of the reference's open3d viewer,
+    visualize_data.py:23-118) must round-trip through load_ply: vertices,
+    colors, faces."""
+    from sceneverse_tpu.preprocess.mesh_io import save_ply
+
+    rng = np.random.RandomState(7)
+    verts = rng.randn(17, 3).astype(np.float32)
+    cols = rng.randint(0, 256, (17, 3)).astype(np.uint8)
+    faces = rng.randint(0, 17, (5, 3)).astype(np.int64)
+
+    p = save_ply(tmp_path / "full.ply", verts, cols, faces)
+    out = load_ply(p)
+    np.testing.assert_array_equal(out["vertices"], verts)
+    np.testing.assert_array_equal(out["colors"], cols)
+    np.testing.assert_array_equal(out["faces"], faces)
+
+    # colors are clipped to u8 range; float inputs accepted
+    p2 = save_ply(tmp_path / "clip.ply", verts,
+                  np.array([[-5.0, 300.0, 128.0]] * 17))
+    out2 = load_ply(p2)
+    np.testing.assert_array_equal(out2["colors"][0], [0, 255, 128])
+
+    # vertices-only variant
+    out3 = load_ply(save_ply(tmp_path / "bare.ply", verts))
+    np.testing.assert_array_equal(out3["vertices"], verts)
+    assert out3["colors"] is None and out3["faces"] is None
+
+
+def test_visualize_data_end_to_end(tmp_path, monkeypatch, capsys):
+    """The visualizer CLI (reference visualize_data.py:93-118) over the
+    synthetic fixture tree writes PNG renders AND colored .ply exports that
+    re-read with matching geometry."""
+    import sys
+
+    import visualize_data
+    from sceneverse_tpu.data.fixture import write_synthetic_tree
+    from sceneverse_tpu.preprocess.mesh_io import load_ply
+
+    root = tmp_path / "tree"
+    write_synthetic_tree(root, n_scans=1)
+    out = tmp_path / "viz"
+    monkeypatch.setattr(sys, "argv", [
+        "visualize_data.py", "--root", str(root), "--dataset", "scannet",
+        "--vis_refer", "--out", str(out),
+    ])
+    visualize_data.main()
+
+    pngs = sorted(p.name for p in out.glob("*.png"))
+    plys = sorted(p.name for p in out.glob("*.ply"))
+    assert len(pngs) >= 2 and len(plys) >= 2  # rgb + instances (+ refer)
+    scan_id = sorted(
+        p.stem for p in
+        (root / "scan_data/pcd_with_global_alignment").glob("*.pth"))[0]
+    points, colors, instance, _ = visualize_data.load_scan(root, scan_id)
+    rgb = load_ply(out / f"{scan_id}_rgb.ply")
+    np.testing.assert_allclose(rgb["vertices"], points.astype(np.float32),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(
+        rgb["colors"], np.clip(colors, 0, 255).astype(np.uint8))
+    # instance export colors by the deterministic ScanNet-200 palette
+    inst = load_ply(out / f"{scan_id}_inst.ply")
+    expect = np.clip(visualize_data.instance_colors(instance), 0,
+                     255).astype(np.uint8)
+    np.testing.assert_array_equal(inst["colors"], expect)
+    if (out / f"{scan_id}_refer.ply").exists():
+        ref = load_ply(out / f"{scan_id}_refer.ply")
+        assert (ref["colors"] == [255, 0, 0]).all(axis=1).any()

@@ -58,6 +58,57 @@ def test_fused_frozen_wiring():
     assert all(sa.fused_frozen for sa in pnet.encoder)
 
 
+@pytest.mark.parametrize(
+    "G,N,m,fbo",
+    [
+        # SA2-like: N<=128, npoint%8==0, fbo==G -> lane-transposed kernel
+        (16, 32, 16, 16),
+        # fbo reduces to G (512->16): still transposed via fbo==G
+        (16, 32, 16, 512),
+        # npoint%8 != 0 -> row-oriented _fps_kernel branch
+        (16, 32, 12, 16),
+        # G=24, fbo=512 -> fbo reduces to 3 (24%512!=0 ... ends odd): G%8
+        # mismatch exercises the fbo halving + row fallback (fbo=8 -> G%8==0)
+        (24, 32, 16, 8),
+        # multi-block grid with fbo%128 != 0 and fbo != G: the alignment
+        # guard must route this to the row-oriented kernel (on-device the
+        # transposed path would be rejected by Mosaic; interpret mode
+        # wouldn't catch it)
+        (32, 32, 16, 16),
+    ],
+)
+def test_fused_sa_forward_split_fps_parity(G, N, m, fbo):
+    """split_fps=True (FPS in its own kernel, transposed or row-oriented)
+    must be bit-identical to the inline-FPS path: same one-hot sums and
+    segment max, only the loop orientation differs."""
+    rng = np.random.RandomState(3)
+    C, ns, r = 6, N, 0.8
+    sa = PointnetSAModule(
+        npoint=m, radius=r, nsample=ns, mlp=[3, 8, 8, 16],
+        use_pallas=False, rngs=nnx.Rngs(3),
+    )
+    sa.eval()
+    pts = rng.randn(G, N, C).astype(np.float32)
+    # a few near-origin pad points: FPS must skip them (mag<=1e-3 rule)
+    pts[:, -2:, :3] = 1e-4
+    pts = jnp.asarray(pts)
+    (w1, s1), (w2, s2), (w3, s3) = fold_shared_mlp(sa.mlp)
+    pooled0, xyz0 = fused_sa_forward(
+        pts, m, ns, r, w1, s1, w2, s2, w3, s3, interpret=True,
+        split_fps=False)
+    pooled1, xyz1 = fused_sa_forward(
+        pts, m, ns, r, w1, s1, w2, s2, w3, s3, interpret=True,
+        split_fps=True, fps_block_objects=fbo)
+    np.testing.assert_array_equal(np.asarray(xyz0), np.asarray(xyz1))
+    np.testing.assert_array_equal(np.asarray(pooled0), np.asarray(pooled1))
+    # and both match the two-stage reference semantics
+    new_xyz_ref, pooled_ref = sa(pts[..., :3], pts[..., 3:])
+    np.testing.assert_allclose(np.asarray(xyz1), np.asarray(new_xyz_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pooled1), np.asarray(pooled_ref),
+                               rtol=5e-2, atol=5e-2)
+
+
 @pytest.mark.parametrize("N,ns,r", [(32, 32, 0.8), (16, 24, 0.8),
                                     (32, 32, 0.05)])  # 0.05: empty balls
 def test_fused_sa_forward_dense_path(N, ns, r):

@@ -52,6 +52,15 @@ def instance_colors(instance):
 
 
 def render(points, colors, title, out_path=None):
+    # always export the colored geometry itself: the file-output equivalent
+    # of the reference's interactive open3d viewer (visualize_data.py:23-118),
+    # inspectable in any external PLY viewer
+    if out_path is not None:
+        from sceneverse_tpu.preprocess.mesh_io import save_ply
+
+        ply_path = os.path.splitext(out_path)[0] + ".ply"
+        save_ply(ply_path, points, colors)
+        print(f"wrote {ply_path}")
     try:
         import open3d as o3d
 
