@@ -54,6 +54,13 @@ def main(bf16: bool = True):
     from __graft_entry__ import _gps_batch, _gps_cfg
 
     cfg = _gps_cfg()
+    unfreeze = os.environ.get("SCENEVERSE_BENCH_UNFREEZE", "").lower() in (
+        "1", "true", "on", "yes")
+    if unfreeze:
+        # trainable-vision ablation (reference all_pretrain_unfreeze.yaml):
+        # disables the fully-fused frozen-SA kernel path — the tower runs
+        # XLA pointops + train-mode BN with gradients (VERDICT r3 item 4)
+        cfg.model.vision.args.freeze = False
     remat_env = os.environ.get("SCENEVERSE_BENCH_REMAT", "").lower()
     if remat_env:  # "1" -> trainable towers; or a comma list of towers
         cfg.model.remat = (True if remat_env in ("1", "true", "on", "yes")
@@ -107,13 +114,34 @@ def main(bf16: bool = True):
     # kernels (forward-only — the tower is frozen, no backward).
     step_flops = 0.0
     try:
-        cost = train_k.lower(state, batch).compile().cost_analysis()
+        compiled = train_k.lower(state, batch).compile()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         step_flops = float(cost.get("flops", 0.0)) / SCAN_STEPS
+        # OOM guard (opt-in): a device OOM wedges the axon client
+        # permanently, so when SCENEVERSE_BENCH_MEMCHECK is set, bail out
+        # BEFORE executing if the compiled executable's HBM demand exceeds
+        # the chip (v5e: 16 GiB, ~0.8 GiB reserved)
+        if os.environ.get("SCENEVERSE_BENCH_MEMCHECK"):
+            mem = compiled.memory_analysis()
+            need = (mem.argument_size_in_bytes + mem.temp_size_in_bytes
+                    + mem.output_size_in_bytes)
+            limit = float(os.environ.get("SCENEVERSE_BENCH_HBM_LIMIT",
+                                         15.2e9))
+            if need > limit:
+                print(json.dumps({
+                    "metric": "gps_pretrain_scenes_per_sec_per_chip",
+                    "value": 0.0, "unit": "scenes/s", "vs_baseline": 0.0,
+                    "oom_predicted": True, "batch": BATCH,
+                    "hbm_needed_gib": round(need / 2**30, 2)}))
+                return
     except Exception:
         pass
-    pallas_flops = _pallas_vision_flops(BATCH, NUM_OBJ, NUM_POINTS)
+    # the frozen-tower Pallas kernels are opaque to XLA's FLOP count; in the
+    # unfreeze ablation the tower runs (and is counted) as plain XLA ops
+    pallas_flops = (0.0 if unfreeze
+                    else _pallas_vision_flops(BATCH, NUM_OBJ, NUM_POINTS))
 
     for _ in range(WARMUP):
         total, state = train_k(state, batch)

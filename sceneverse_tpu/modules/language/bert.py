@@ -87,11 +87,11 @@ class BertSelfAttention(nnx.Module):
     def __call__(self, x: Array, attn_bias: Array):
         B, L, D = x.shape
         H, dh = self.num_heads, self.head_dim
-        split = lambda t: t.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
-        q, k, v = split(self.query(x)), split(self.key(x)), split(self.value(x))
+        q2, k2, v2 = self.query(x), self.key(x), self.value(x)
         # bespoke fused path (ops/pallas/mha.py): consumes the HF additive
         # mask row directly; prob-dropout runs in-kernel (same distribution,
-        # different stream than nnx.Dropout)
+        # different stream than nnx.Dropout). q/k/v ride PACKED (B, L, H*dh)
+        # — no head-split transposes on this path.
         from sceneverse_tpu.ops.pallas.mha import fused_mha, fused_mha_enabled
 
         if fused_mha_enabled():
@@ -99,10 +99,12 @@ class BertSelfAttention(nnx.Module):
 
             rate = (0.0 if self.dropout.deterministic else self.dropout.rate)
             seed = _dropout_seed(self.dropout) if rate > 0.0 else None
-            out = fused_mha(q, k, v, pad_additive=attn_bias[:, 0, 0, :],
-                            dropout_rate=rate, seed=seed,
-                            scale=1.0 / math.sqrt(dh)).astype(v.dtype)
-            return out.transpose(0, 2, 1, 3).reshape(B, L, D)
+            return fused_mha(q2, k2, v2, H,
+                             pad_additive=attn_bias[:, 0, 0, :],
+                             dropout_rate=rate, seed=seed,
+                             scale=1.0 / math.sqrt(dh)).astype(v2.dtype)
+        split = lambda t: t.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+        q, k, v = split(q2), split(k2), split(v2)
         # fused (flash) path when prob-dropout is inactive (the kernel has
         # none; training keeps HF dropout semantics). attn_bias is the HF
         # additive mask (large negative at pads, (B,1,1,L)) — recover the

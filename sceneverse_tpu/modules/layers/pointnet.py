@@ -36,15 +36,41 @@ Array = jax.Array
 
 def _default_use_pallas() -> bool:
     """Fused Pallas sampling/grouping on TPU unless disabled via
-    SCENEVERSE_NO_PALLAS=1."""
+    SCENEVERSE_NO_PALLAS=1; SCENEVERSE_PALLAS_INTERPRET=1 forces the kernel
+    path on non-TPU backends (Pallas interpreter — the CPU mesh tests)."""
     import os
 
     if os.environ.get("SCENEVERSE_NO_PALLAS"):
         return False
+    if os.environ.get("SCENEVERSE_PALLAS_INTERPRET"):
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def _pallas_interpret() -> bool:
+    """Interpret-mode flag for kernel calls: Mosaic programs only execute on
+    TPU; any other backend runs the interpreter."""
+    return jax.default_backend() != "tpu"
+
+
+def _maybe_dp_shard_map(fn, arrays, replicated=()):
+    """Run ``fn(*arrays, *replicated)`` shard_mapped over the ambient 'dp'
+    mesh axis (dim 0 of each array in ``arrays``; ``replicated`` operands —
+    e.g. folded MLP weights — are whole on every device), or directly when
+    there is no mesh / dim 0 doesn't divide dp. See parallel/mesh.py
+    ambient_dp_mesh: GSPMD would otherwise all-gather and replicate the
+    opaque pallas_call on every device."""
+    from sceneverse_tpu.parallel.mesh import ambient_dp_mesh, dp_shard_map
+
+    mesh = ambient_dp_mesh()
+    if mesh is not None and all(
+            a.shape[0] % mesh.shape["dp"] == 0 for a in arrays):
+        return dp_shard_map(fn, mesh, len(arrays), len(replicated))(
+            *arrays, *replicated)
+    return fn(*arrays, *replicated)
 
 
 class ConvBNReLU(nnx.Module):
@@ -148,12 +174,18 @@ class PointnetSAModule(nnx.Module):
             # stage-1/2 unroll allows, so FPS splits into its own wide-block
             # kernel feeding centers in (bit-identical outputs).
             small_n = pts.shape[1] < 256
-            pooled, new_xyz = fused_sa_forward_frozen(
-                pts, self.npoint, self.nsample, self.radius,
-                w1, s1, w2, s2, w3, s3,
-                64 if small_n else 128,  # block_objects (positional:
-                small_n,                 # custom_jvp nondiff args)
-            )
+
+            def fsa(pts, w1, s1, w2, s2, w3, s3):
+                return fused_sa_forward_frozen(
+                    pts, self.npoint, self.nsample, self.radius,
+                    w1, s1, w2, s2, w3, s3,
+                    64 if small_n else 128,  # block_objects (positional:
+                    small_n,                 # custom_jvp nondiff args)
+                    _pallas_interpret(),
+                )
+
+            pooled, new_xyz = _maybe_dp_shard_map(
+                fsa, (pts,), (w1, s1, w2, s2, w3, s3))
             return (jax.lax.stop_gradient(new_xyz),
                     jax.lax.stop_gradient(pooled))
 
@@ -198,8 +230,12 @@ class PointnetSAModule(nnx.Module):
                 jnp.concatenate([xyz, features], axis=-1)
                 if features is not None else xyz
             )
-            grouped, new_xyz = sample_and_group(
-                pts, self.npoint, self.nsample, self.radius, self.pallas_exact
+            grouped, new_xyz = _maybe_dp_shard_map(
+                lambda p: sample_and_group(
+                    p, self.npoint, self.nsample, self.radius,
+                    self.pallas_exact, interpret=_pallas_interpret(),
+                ),
+                (pts,),
             )
             if not self.use_xyz and features is not None:
                 grouped = grouped[..., 3:]

@@ -95,23 +95,24 @@ class MultiHeadAttention(nnx.Module):
                 v = value.astype(dt) @ w[:, 2 * d :] + b[2 * d :]
         else:
             q, k, v = self.q_proj(query), self.k_proj(key), self.v_proj(value)
-        q, k, v = self._split(q), self._split(k), self._split(v)
         dropout_off = (self.attn_dropout.rate == 0.0
                        or self.attn_dropout.deterministic)
         # bespoke fused path (ops/pallas/mha.py): scores/probs/dropout masks
         # stay in VMEM; prob-dropout runs on the in-kernel PRNG (identical
-        # distribution, different stream than nnx.Dropout's threefry)
+        # distribution, different stream than nnx.Dropout's threefry).
+        # q/k/v ride PACKED (B, T, H*dh) — the kernel slices heads off lane
+        # blocks, so no (B, H, T, dh) transpose copies exist on this path.
         from sceneverse_tpu.ops.pallas.mha import fused_mha, fused_mha_enabled
 
         if attn_mask is None and fused_mha_enabled():
             rate = 0.0 if dropout_off else self.attn_dropout.rate
             seed = _dropout_seed(self.attn_dropout) if rate > 0.0 else None
-            out = fused_mha(q, k, v, key_padding_mask=key_padding_mask,
+            out = fused_mha(q, k, v, self.n_head,
+                            key_padding_mask=key_padding_mask,
                             dropout_rate=rate, seed=seed,
                             scale=1.0 / math.sqrt(self.d_head))
-            B, H, T, dh = out.shape
-            out = out.transpose(0, 2, 1, 3).reshape(B, T, H * dh)
             return self.out_proj(out), None
+        q, k, v = self._split(q), self._split(k), self._split(v)
         # generic flash path: only when attention dropout is inactive — that
         # kernel has no prob-dropout, and training must keep the reference's
         # dropout semantics (reference transformers.py:139-141)
@@ -314,25 +315,26 @@ class MultiHeadAttentionSpatial(nnx.Module):
         B, L, _ = q_in.shape
         H, dh = self.n_head, self.d_per_head
         residual = q_in
-        # (B, T, D) -> (B, H, T, dh)
-        q = self.w_qs(q_in).reshape(B, L, H, dh).transpose(0, 2, 1, 3)
-        k = self.w_ks(k_in).reshape(B, -1, H, dh).transpose(0, 2, 1, 3)
-        v = self.w_vs(v_in).reshape(B, -1, H, dh).transpose(0, 2, 1, 3)
+        q2, k2, v2 = self.w_qs(q_in), self.w_ks(k_in), self.w_vs(v_in)
         # bespoke fused path for the GPS 'cond' fusion: the spatial gate is
         # computed IN-KERNEL from the (B, H, L, 6) conditional weights and
         # the pairwise locations — the (B, H, L, T) gate/score/prob tensors
-        # never leave VMEM (ops/pallas/mha.py)
+        # never leave VMEM (ops/pallas/mha.py). q/k/v ride PACKED
+        # (B, T, H*dh): no head-split transposes on this path.
         from sceneverse_tpu.ops.pallas.mha import fused_mha, fused_mha_enabled
 
         if (self.spatial_attn_fusion == "cond" and self.spatial_multihead
                 and self.spatial_dim == 5 and fused_mha_enabled()):
             sw = self.lang_cond_fc(residual)
             sw = sw.reshape(B, L, H, self.spatial_dim + 1).transpose(0, 2, 1, 3)
-            out = fused_mha(q, k, v, key_padding_mask=key_padding_mask,
+            out = fused_mha(q2, k2, v2, H, key_padding_mask=key_padding_mask,
                             gate_sw=sw, locs=pairwise_locs,
-                            scale=1.0 / math.sqrt(dh)).astype(v.dtype)
-            out = out.transpose(0, 2, 1, 3).reshape(B, L, self.d_model)
+                            scale=1.0 / math.sqrt(dh)).astype(v2.dtype)
             return self.fc(out), None
+        # (B, T, D) -> (B, H, T, dh)
+        q = q2.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+        k = k2.reshape(B, -1, H, dh).transpose(0, 2, 1, 3)
+        v = v2.reshape(B, -1, H, dh).transpose(0, 2, 1, 3)
         # compute-dtype logits (see MultiHeadAttention note): bf16 under
         # mixed precision, f32 otherwise; softmax below upcasts to f32
         attn = jnp.einsum(

@@ -17,6 +17,19 @@ This kernel is shaped to the GPS regime instead (L, T <= ~330 so one
 (L, T) score block lives in VMEM per head; reference budget
 all_pretrain.yaml:35-46):
 
+* PACKED HEAD LAYOUT: q/k/v arrive and leave as (B, L, H*dh) — exactly what
+  the in-projection matmuls produce and the out-projection consumes. The
+  first-generation kernel took (B, H, L, dh), which forced XLA to
+  materialize (B, T, H, dh) -> (B, H, T, dh) layout copies around every
+  custom-call (a pallas_call pins operand layouts; XLA's own attention
+  einsums fold those transposes for free): a device trace at batch 192
+  showed 32 such copies per train step, ~12.7 ms — more than the SA kernels
+  themselves. Heads are processed in 128-lane blocks (two dh=64 heads per
+  block): per head, the off-head lanes of q (and of v/k on the grad side)
+  are zero-masked with an iota select, so the wide dot contracts to exactly
+  the per-head product while outputs accumulate additively into the packed
+  lane block. The extra zero-lane MXU work is free — the old (L, 64) dots
+  half-filled the 128-wide MXU contraction anyway.
 * grid over the batch, all H heads unrolled per step — no L/T blocking, no
   online-softmax passes, exactly one (L, T) f32 score tile per head;
 * key-padding arrives as an additive (B, T) f32 row (0 / -1e30) — the
@@ -72,8 +85,27 @@ def fused_mha_enabled() -> bool:
     per-call-identical dropout streams."""
     v = os.environ.get(_GATE_ENV, "on").lower()
     if v in ("1", "on", "true"):
+        # SCENEVERSE_PALLAS_INTERPRET=1 forces the kernel path on non-TPU
+        # backends (runs the Pallas interpreter) — used by the 8-device CPU
+        # mesh tests to exercise the kernels' grids under dp sharding
+        if os.environ.get("SCENEVERSE_PALLAS_INTERPRET"):
+            return True
         return jax.default_backend() == "tpu"
     return False
+
+
+def _block_geometry(D: int, dh: int):
+    """(block_width, heads_per_block): pack heads into lane blocks whose
+    offsets stay 128-aligned (Mosaic lane-store constraint)."""
+    if D <= 128:
+        return D, D // dh
+    if dh % 128 == 0:
+        return dh, 1
+    if 128 % dh == 0 and D % 128 == 0:
+        return 128, 128 // dh
+    raise ValueError(
+        f"unsupported packed-head geometry D={D} dh={dh}: need D <= 128, "
+        f"dh % 128 == 0, or (128 % dh == 0 and D % 128 == 0)")
 
 
 def _uniform01(shape):
@@ -85,6 +117,33 @@ def _uniform01(shape):
     return u24.astype(jnp.float32) * (1.0 / (1 << 24))
 
 
+def _uniform01_hash(shape, seed):
+    """Interpret-mode uniform fallback: `pltpu.prng_seed` has no CPU
+    lowering even under the Pallas interpreter, so the 8-device CPU mesh
+    tests (train-mode, dropout > 0) use a counter-based murmur3-finalizer
+    hash over (per-(b,h) seed, element index) instead. Deterministic given
+    the seed — backward regenerates the identical mask — but a DIFFERENT
+    stream than the on-TPU hardware PRNG (dropout distribution identical)."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = (r * jnp.uint32(shape[1]) + c
+         + seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return (x >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _dropmask(shape, seed_scalar, keep, hw_prng):
+    """(shape) bool keep-mask; hardware PRNG on TPU, hash in interpret."""
+    if hw_prng:
+        pltpu.prng_seed(seed_scalar)
+        return _uniform01(shape) < keep
+    return _uniform01_hash(shape, seed_scalar) < keep
+
+
 def _gate_z(sw, locs_ref, padrow):
     """Spatial 'cond' gate logits z (L, T) from per-query weights sw (L, 8)
     [bias, w0..w4, pad, pad] and location planes locs_ref (1, 5, L, T)."""
@@ -94,8 +153,20 @@ def _gate_z(sw, locs_ref, padrow):
     return z
 
 
+def _head_lane_mask(rows, bw, dh, i):
+    """(rows, bw) bool: True on the dh lanes belonging to sub-head ``i``."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, bw), 1)
+    return (lane // dh) == i
+
+
+def _zero_off_head(x, dh, i):
+    """Zero every lane of ``x`` outside sub-head ``i``'s dh-lane segment."""
+    return jnp.where(_head_lane_mask(x.shape[0], x.shape[1], dh, i), x,
+                     jnp.zeros_like(x))
+
+
 def _mha_fwd_kernel(q_ref, k_ref, v_ref, pad_ref, seed_ref, *rest,
-                    scale, rate, gate, H):
+                    scale, rate, gate, H, dh, hw_prng=True):
     if gate:
         sw_ref, locs_ref, o_ref, lse_ref = rest
     else:
@@ -103,35 +174,46 @@ def _mha_fwd_kernel(q_ref, k_ref, v_ref, pad_ref, seed_ref, *rest,
     b = pl.program_id(0)
     padrow = pad_ref[0, :, :]  # (1, T) additive: 0 valid, -1e30 pad
     keep = 1.0 - rate
-    for h in range(H):
-        q = q_ref[0, h]  # (L, dh)
-        k = k_ref[0, h]  # (T, dh)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + padrow  # (L, T) f32
-        if gate:
-            z = _gate_z(sw_ref[0, h], locs_ref, padrow)
-            loc = jnp.maximum(jax.nn.log_sigmoid(z), _LOG1E6)
-            loc = jnp.where(padrow < -1.0, _LOG1E6, loc)
-            s = s + loc
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        tot = jnp.sum(p, axis=1, keepdims=True)
-        lse_ref[0, h] = m + jnp.log(tot)
-        pn = (p / tot).astype(v_ref.dtype)  # value-dtype probs (softmax_lowp)
-        if rate > 0.0:
-            pltpu.prng_seed(seed_ref[0] + b * H + h)
-            dropmask = _uniform01(pn.shape) < keep
-            pn = jnp.where(dropmask, pn * (1.0 / keep), 0.0).astype(v_ref.dtype)
-        o_ref[0, h] = jax.lax.dot_general(
-            pn, v_ref[0, h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+    L, D = q_ref.shape[1], q_ref.shape[2]
+    bw, hpb = _block_geometry(D, dh)
+    for j in range(D // bw):
+        qp = q_ref[0, :, j * bw:(j + 1) * bw]  # (L, bw)
+        kp = k_ref[0, :, j * bw:(j + 1) * bw]  # (T, bw)
+        vp = v_ref[0, :, j * bw:(j + 1) * bw]  # (T, bw)
+        acc = jnp.zeros((L, bw), jnp.float32)
+        for i in range(hpb):
+            h = j * hpb + i
+            # off-head q lanes zeroed -> the bw-wide contraction IS the
+            # per-head (dh-wide) score dot
+            s = jax.lax.dot_general(
+                _zero_off_head(qp, dh, i), kp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + padrow  # (L, T) f32
+            if gate:
+                z = _gate_z(sw_ref[0, h], locs_ref, padrow)
+                loc = jnp.maximum(jax.nn.log_sigmoid(z), _LOG1E6)
+                loc = jnp.where(padrow < -1.0, _LOG1E6, loc)
+                s = s + loc
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            tot = jnp.sum(p, axis=1, keepdims=True)
+            lse_ref[0, h] = m + jnp.log(tot)
+            pn = (p / tot).astype(v_ref.dtype)  # value-dtype probs
+            if rate > 0.0:
+                dropmask = _dropmask(pn.shape, seed_ref[0] + b * H + h,
+                                     keep, hw_prng)
+                pn = jnp.where(dropmask, pn * (1.0 / keep),
+                               0.0).astype(v_ref.dtype)
+            # off-head v lanes zeroed -> head outputs land disjoint; sum
+            acc = acc + jax.lax.dot_general(
+                pn, _zero_off_head(vp, dh, i), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        o_ref[0, :, j * bw:(j + 1) * bw] = acc.astype(o_ref.dtype)
 
 
 def _mha_bwd_kernel(q_ref, k_ref, v_ref, pad_ref, seed_ref, *rest,
-                    scale, rate, gate, H):
+                    scale, rate, gate, H, dh, hw_prng=True):
     if gate:
         (sw_ref, locs_ref, do_ref, o_ref, lse_ref,
          dq_ref, dk_ref, dv_ref, dsw_ref) = rest
@@ -141,62 +223,84 @@ def _mha_bwd_kernel(q_ref, k_ref, v_ref, pad_ref, seed_ref, *rest,
     padrow = pad_ref[0, :, :]
     keep = 1.0 - rate
     cdt = q_ref.dtype
-    for h in range(H):
-        q = q_ref[0, h]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + padrow
-        if gate:
-            z = _gate_z(sw_ref[0, h], locs_ref, padrow)
-            ls = jax.nn.log_sigmoid(z)
-            loc = jnp.where(padrow < -1.0, _LOG1E6, jnp.maximum(ls, _LOG1E6))
-            s = s + loc
-        p = jnp.exp(s - lse_ref[0, h])  # normalized probs, f32
-        do = do_ref[0, h].astype(jnp.float32)  # (L, dh)
-        delta = jnp.sum(do * o_ref[0, h], axis=1, keepdims=True)  # (L, 1)
-        pb = p.astype(cdt)
-        dob = do.astype(cdt)
-        if rate > 0.0:
-            pltpu.prng_seed(seed_ref[0] + b * H + h)  # same bits as forward
-            dropmask = _uniform01(p.shape) < keep
-            a = jnp.where(dropmask, pb * (1.0 / keep), 0.0).astype(cdt)
-        else:
-            a = pb
-        dv_ref[0, h] = jax.lax.dot_general(  # a^T @ do -> (T, dh)
-            a, dob, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dv_ref.dtype)
-        dp = jax.lax.dot_general(  # do @ v^T -> (L, T)
-            dob, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if rate > 0.0:
-            dp = jnp.where(dropmask, dp * (1.0 / keep), 0.0)
-        ds = p * (dp - delta)  # (L, T) f32
-        if gate:
-            active = (ls > _LOG1E6) & (padrow >= -1.0)
-            dz = jnp.where(active, ds * jax.nn.sigmoid(-z), 0.0)
-            cols = [jnp.sum(dz, axis=1, keepdims=True)]
-            for d in range(5):
-                cols.append(jnp.sum(dz * locs_ref[0, d], axis=1, keepdims=True))
-            cols.append(jnp.zeros_like(cols[0]))
-            cols.append(jnp.zeros_like(cols[0]))
-            dsw_ref[0, h] = jnp.concatenate(cols, axis=1)  # (L, 8)
-        dsb = ds.astype(cdt)
-        dq_ref[0, h] = (jax.lax.dot_general(
-            dsb, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale).astype(dq_ref.dtype)
-        dk_ref[0, h] = (jax.lax.dot_general(
-            dsb, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale).astype(dk_ref.dtype)
+    L, D = q_ref.shape[1], q_ref.shape[2]
+    bw, hpb = _block_geometry(D, dh)
+    for j in range(D // bw):
+        qp = q_ref[0, :, j * bw:(j + 1) * bw]
+        kp = k_ref[0, :, j * bw:(j + 1) * bw]
+        vp = v_ref[0, :, j * bw:(j + 1) * bw]
+        dop = do_ref[0, :, j * bw:(j + 1) * bw]
+        dof = dop.astype(jnp.float32)
+        oof = o_ref[0, :, j * bw:(j + 1) * bw].astype(jnp.float32)
+        doo = dof * oof  # (L, bw); per-head delta = its masked row-sum
+        dq_acc = jnp.zeros((L, bw), jnp.float32)
+        dk_acc = jnp.zeros((kp.shape[0], bw), jnp.float32)
+        dv_acc = jnp.zeros((kp.shape[0], bw), jnp.float32)
+        for i in range(hpb):
+            h = j * hpb + i
+            mL = _head_lane_mask(L, bw, dh, i)
+            qi = jnp.where(mL, qp, jnp.zeros_like(qp))
+            s = jax.lax.dot_general(
+                qi, kp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + padrow
+            if gate:
+                z = _gate_z(sw_ref[0, h], locs_ref, padrow)
+                ls = jax.nn.log_sigmoid(z)
+                loc = jnp.where(padrow < -1.0, _LOG1E6,
+                                jnp.maximum(ls, _LOG1E6))
+                s = s + loc
+            p = jnp.exp(s - lse_ref[0, h])  # normalized probs, f32
+            delta = jnp.sum(jnp.where(mL, doo, 0.0), axis=1,
+                            keepdims=True)  # (L, 1)
+            pb = p.astype(cdt)
+            doi = jnp.where(mL, dop, jnp.zeros_like(dop)).astype(cdt)
+            if rate > 0.0:
+                # fwd-identical mask (same seed derivation)
+                dropmask = _dropmask(p.shape, seed_ref[0] + b * H + h,
+                                     keep, hw_prng)
+                a = jnp.where(dropmask, pb * (1.0 / keep), 0.0).astype(cdt)
+            else:
+                a = pb
+            # doi's off-head lanes are zero -> dv lands only on head i's
+            # lanes; accumulate additively into the packed block
+            dv_acc = dv_acc + jax.lax.dot_general(  # a^T @ doi -> (T, bw)
+                a, doi, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(  # doi @ vp^T -> (L, T); doi masked
+                doi, vp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if rate > 0.0:
+                dp = jnp.where(dropmask, dp * (1.0 / keep), 0.0)
+            ds = p * (dp - delta)  # (L, T) f32
+            if gate:
+                active = (ls > _LOG1E6) & (padrow >= -1.0)
+                dz = jnp.where(active, ds * jax.nn.sigmoid(-z), 0.0)
+                cols = [jnp.sum(dz, axis=1, keepdims=True)]
+                for d in range(5):
+                    cols.append(jnp.sum(dz * locs_ref[0, d], axis=1,
+                                        keepdims=True))
+                cols.append(jnp.zeros_like(cols[0]))
+                cols.append(jnp.zeros_like(cols[0]))
+                dsw_ref[0, h] = jnp.concatenate(cols, axis=1)  # (L, 8)
+            dsb = ds.astype(cdt)
+            ki = _zero_off_head(kp, dh, i)
+            dq_acc = dq_acc + jax.lax.dot_general(  # ds @ ki -> (L, bw)
+                dsb, ki, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dk_acc = dk_acc + jax.lax.dot_general(  # ds^T @ qi -> (T, bw)
+                dsb, qi, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+        dq_ref[0, :, j * bw:(j + 1) * bw] = dq_acc.astype(dq_ref.dtype)
+        dk_ref[0, :, j * bw:(j + 1) * bw] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0, :, j * bw:(j + 1) * bw] = dv_acc.astype(dv_ref.dtype)
 
 
-def _specs(B, H, L, T, dh, gate, extra=()):
+def _specs(B, H, L, T, D, gate, extra=()):
     byb = lambda *shape: pl.BlockSpec(
         (1,) + shape, lambda b: (b,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
@@ -204,33 +308,34 @@ def _specs(B, H, L, T, dh, gate, extra=()):
     # 8-divisible OR equal to the array dim — (1, T) blocks of a (B, T)
     # array violate that on real TPU (caught on-chip; interpret mode does
     # not enforce it)
-    specs = [byb(H, L, dh), byb(H, T, dh), byb(H, T, dh), byb(1, T),
+    specs = [byb(L, D), byb(T, D), byb(T, D), byb(1, T),
              pl.BlockSpec(memory_space=pltpu.SMEM)]
     if gate:
         specs += [byb(H, L, 8), byb(5, L, T)]
     return specs + list(extra)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def _fused_mha(q, k, v, padadd, sw8, locs5, seed, scale, rate, gate,
-               interpret):
+               interpret, H, dh):
     o, _ = _mha_fwd(q, k, v, padadd, sw8, locs5, seed, scale, rate, gate,
-                    interpret)
+                    interpret, H, dh)
     return o
 
 
-def _mha_fwd(q, k, v, padadd, sw8, locs5, seed, scale, rate, gate, interpret):
-    B, H, L, dh = q.shape
-    T = k.shape[2]
+def _mha_fwd(q, k, v, padadd, sw8, locs5, seed, scale, rate, gate, interpret,
+             H, dh):
+    B, L, D = q.shape
+    T = k.shape[1]
     kern = functools.partial(_mha_fwd_kernel, scale=scale, rate=rate,
-                             gate=gate, H=H)
+                             gate=gate, H=H, dh=dh, hw_prng=not interpret)
     ops = [q, k, v, padadd, seed] + ([sw8, locs5] if gate else [])
     o, lse = pl.pallas_call(
         kern,
         grid=(B,),
-        in_specs=_specs(B, H, L, T, dh, gate),
+        in_specs=_specs(B, H, L, T, D, gate),
         out_specs=(
-            pl.BlockSpec((1, H, L, dh), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, L, 1), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -242,7 +347,7 @@ def _mha_fwd(q, k, v, padadd, sw8, locs5, seed, scale, rate, gate, interpret):
             # showed the convert+head-merge fusions at ~3.5 ms each at
             # batch 192). The PV dot still accumulates f32 in the MXU;
             # only the stored result rounds. f32-in stays f32-out (exact).
-            jax.ShapeDtypeStruct((B, H, L, dh), q.dtype),
+            jax.ShapeDtypeStruct((B, L, D), q.dtype),
             jax.ShapeDtypeStruct((B, H, L, 1), jnp.float32),
         ),
         interpret=interpret,
@@ -254,23 +359,23 @@ def _mha_fwd(q, k, v, padadd, sw8, locs5, seed, scale, rate, gate, interpret):
 
 
 def _fused_fwd(q, k, v, padadd, sw8, locs5, seed, scale, rate, gate,
-               interpret):
+               interpret, H, dh):
     o, lse = _mha_fwd(q, k, v, padadd, sw8, locs5, seed, scale, rate, gate,
-                      interpret)
+                      interpret, H, dh)
     return o, (q, k, v, padadd, sw8, locs5, seed, o, lse)
 
 
-def _fused_bwd(scale, rate, gate, interpret, res, g):
+def _fused_bwd(scale, rate, gate, interpret, H, dh, res, g):
     q, k, v, padadd, sw8, locs5, seed, o, lse = res
-    B, H, L, dh = q.shape
-    T = k.shape[2]
+    B, L, D = q.shape
+    T = k.shape[1]
     kern = functools.partial(_mha_bwd_kernel, scale=scale, rate=rate,
-                             gate=gate, H=H)
+                             gate=gate, H=H, dh=dh, hw_prng=not interpret)
     byb = lambda *shape: pl.BlockSpec(
         (1,) + shape, lambda b: (b,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
-    extra = [byb(H, L, dh), byb(H, L, dh), byb(H, L, 1)]  # do, o, lse
-    out_specs = [byb(H, L, dh), byb(H, T, dh), byb(H, T, dh)]
+    extra = [byb(L, D), byb(L, D), byb(H, L, 1)]  # do, o, lse
+    out_specs = [byb(L, D), byb(T, D), byb(T, D)]
     out_shape = [
         jax.ShapeDtypeStruct(q.shape, q.dtype),
         jax.ShapeDtypeStruct(k.shape, k.dtype),
@@ -281,13 +386,13 @@ def _fused_bwd(scale, rate, gate, interpret, res, g):
         out_shape.append(jax.ShapeDtypeStruct(sw8.shape, jnp.float32))
     # g rides in its native dtype (= the primal output dtype); the kernel
     # upcasts per-head in VMEM — an .astype(f32) here would materialize a
-    # full (B, H, L, dh) f32 copy in HBM first
+    # full (B, L, D) f32 copy in HBM first
     ops = ([q, k, v, padadd, seed] + ([sw8, locs5] if gate else [])
            + [g, o, lse])
     outs = pl.pallas_call(
         kern,
         grid=(B,),
-        in_specs=_specs(B, H, L, T, dh, gate, extra),
+        in_specs=_specs(B, H, L, T, D, gate, extra),
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
@@ -305,19 +410,24 @@ def _fused_bwd(scale, rate, gate, interpret, res, g):
 _fused_mha.defvjp(_fused_fwd, _fused_bwd)
 
 
-def fused_mha(q: Array, k: Array, v: Array,
+def fused_mha(q: Array, k: Array, v: Array, n_heads: int,
               key_padding_mask: Array | None = None,
               pad_additive: Array | None = None,
               gate_sw: Array | None = None,
               locs: Array | None = None,
               dropout_rate: float = 0.0,
               seed: Array | None = None,
-              *, scale: float, interpret: bool = False) -> Array:
+              *, scale: float, interpret: bool | None = None) -> Array:
     """softmax(q k^T * scale [+ cond-gate] + pad) @ v, fused in VMEM.
 
     Args:
-      q, k, v: (B, H, L/T, dh), any float dtype (compute dtype in and out;
+      q, k, v: (B, L/T, H*dh) PACKED head layout — exactly the in-projection
+        outputs; no (B, H, L, dh) transpose exists anywhere (see module
+        docstring). Any float dtype (compute dtype in and out;
         scores/softmax/lse stay f32 in VMEM regardless).
+      n_heads: number of attention heads H (dh = D // H; the packing needs
+        D <= 128, dh % 128 == 0, or 128 % dh == 0 with D % 128 == 0 —
+        dh=64 GPS towers pack two heads per 128-lane block).
       key_padding_mask: (B, T) bool, True = PAD key (torch convention), OR
       pad_additive: (B, T) f32 additive logit row (e.g. HF's -1e4 bias) —
         exactly one of the two.
@@ -329,10 +439,14 @@ def fused_mha(q: Array, k: Array, v: Array,
       seed: (1,) int32 PRNG seed for dropout (per (batch, head) streams
         derived in-kernel; backward regenerates the identical mask).
     Returns:
-      (B, H, L, dh) in q.dtype (f32 accumulation, rounded on store).
+      (B, L, H*dh) in q.dtype (f32 accumulation, rounded on store).
     """
-    B, H, L, dh = q.shape
-    T = k.shape[2]
+    B, L, D = q.shape
+    T = k.shape[1]
+    if D % n_heads != 0:
+        raise ValueError(f"D={D} not divisible by n_heads={n_heads}")
+    dh = D // n_heads
+    _block_geometry(D, dh)  # validate packing support eagerly
     if pad_additive is not None:
         padadd = pad_additive.astype(jnp.float32)
     elif key_padding_mask is not None:
@@ -345,12 +459,37 @@ def fused_mha(q: Array, k: Array, v: Array,
         sw8 = jnp.pad(gate_sw.astype(jnp.float32), ((0, 0),) * 3 + ((0, 2),))
         locs5 = jnp.transpose(locs.astype(jnp.float32), (0, 3, 1, 2))
     else:  # dummies keep the custom_vjp signature static
-        sw8 = jnp.zeros((B, H, 1, 8), jnp.float32)
+        sw8 = jnp.zeros((B, n_heads, 1, 8), jnp.float32)
         locs5 = jnp.zeros((B, 5, 1, 1), jnp.float32)
     if dropout_rate > 0.0 and seed is None:
         raise ValueError("dropout_rate > 0 requires a seed")
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
-    return _fused_mha(q, k, v, padadd, sw8, locs5,
-                      seed.astype(jnp.int32).reshape((1,)),
-                      float(scale), float(dropout_rate), gate, interpret)
+    seed = seed.astype(jnp.int32).reshape((1,))
+    if interpret is None:
+        # the kernel can only execute as a Mosaic program on TPU; any other
+        # backend (the 8-device CPU test mesh) runs the interpreter
+        interpret = jax.default_backend() != "tpu"
+    rate, scale = float(dropout_rate), float(scale)
+
+    # Under a dp mesh GSPMD would all-gather the operands and run the opaque
+    # kernel replicated on every device (no partitioning rule for a
+    # pallas_call): shard_map over 'dp' instead, so each device runs its own
+    # batch shard. Per-shard dropout streams are decorrelated by folding the
+    # dp index into the seed (golden-ratio odd constant); backward re-derives
+    # the identical per-shard seed, so masks still match fwd/bwd.
+    from sceneverse_tpu.parallel.mesh import ambient_dp_mesh, dp_shard_map
+
+    mesh = ambient_dp_mesh()
+    if mesh is not None and B % mesh.shape["dp"] == 0:
+        def body(q, k, v, padadd, sw8, locs5, seed):
+            if rate > 0.0:
+                seed = seed + (jax.lax.axis_index("dp").astype(jnp.int32)
+                               * jnp.int32(-1640531527))
+            return _fused_mha(q, k, v, padadd, sw8, locs5, seed,
+                              scale, rate, gate, interpret, n_heads, dh)
+
+        return dp_shard_map(body, mesh, n_sharded=6, n_replicated=1)(
+            q, k, v, padadd, sw8, locs5, seed)
+    return _fused_mha(q, k, v, padadd, sw8, locs5, seed,
+                      scale, rate, gate, interpret, n_heads, dh)

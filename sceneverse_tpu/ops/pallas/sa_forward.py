@@ -64,7 +64,12 @@ def _stage2_pool_dense(g_ref, wm_ref, pooled_ref, w2, a2, b2, w3, a3, b3, *,
                        npoint, n, bo, h3, opc):
     """Dense-pairs stage 2: object-batched MLP layers 2..3 over all
     (center, point) pairs, then a within-masked max over points with the
-    empty-ball fallback pair (c, 0)."""
+    empty-ball fallback pair (c, 0).
+
+    The mask scratch is stored TRANSPOSED — (n, m) per object — so the pool
+    is one reshape + masked max over the leading (point) axis instead of n
+    python-unrolled (m, h3) maxima per object (the unrolled form was
+    instruction-issue-bound, not VPU-bound)."""
     m = npoint
     sobj = max(1, 4096 // opc)
     while bo % sobj != 0:
@@ -81,15 +86,13 @@ def _stage2_pool_dense(g_ref, wm_ref, pooled_ref, w2, a2, b2, w3, a3, b3, *,
         h = jnp.maximum(dot(h, w3) * a3 + b3, 0.0)  # (sobj*opc, H3)
         for bb in range(sobj):
             o = s + bb
-            wm = wm_ref[o * m:(o + 1) * m, :]  # (m, n)
-            count_col = jnp.sum(wm, axis=1, keepdims=True)  # (m, 1)
-            pooled = jnp.full((m, h3), -3.0e38, jnp.float32)
-            for p in range(n):
-                seg = h[bb * opc + p * m:bb * opc + (p + 1) * m, :]
-                pooled = jnp.maximum(
-                    pooled, jnp.where(wm[:, p:p + 1] > 0, seg, -3.0e38))
-            h0 = h[bb * opc:bb * opc + m, :]  # pair (c, 0): empty-ball pick
-            pooled_ref[o, :, :] = jnp.where(count_col > 0, pooled, h0)
+            wmt = wm_ref[o * n:(o + 1) * n, :]  # (n, m) transposed within
+            h3d = h[bb * opc:(bb + 1) * opc, :].reshape(n, m, h3)
+            masked = jnp.where(wmt[:, :, None] > 0, h3d, -3.0e38)
+            pooled = jnp.max(masked, axis=0)  # (m, h3)
+            count_col = _row_to_col(jnp.sum(wmt, axis=0, keepdims=True), m)
+            # pair (c, 0): empty-ball pick (CUDA zero-init -> point 0)
+            pooled_ref[o, :, :] = jnp.where(count_col > 0, pooled, h3d[0])
 
 
 def _fps_inline(x, y, z, lane, newxyz_ref, *, npoint, n, bo):
@@ -292,16 +295,21 @@ def _kernel(pts_ref, *refs, npoint, nsample, radius,
     a3, b3 = s3_ref[0:1, :], s3_ref[1:2, :]
 
     if dense:
-        wm_ref = scratch[0]  # (bo*m, n) f32 within masks for the pool stage
+        wm_ref = scratch[0]  # (bo*n, m) f32 TRANSPOSED within masks (pool)
         for b in range(bo):
             cx_col = _row_to_col(cxa[b:b + 1, :], m)
             cy_col = _row_to_col(cya[b:b + 1, :], m)
             cz_col = _row_to_col(cza[b:b + 1, :], m)
-            d2 = ((x[b:b + 1, :] - cx_col) ** 2
-                  + (y[b:b + 1, :] - cy_col) ** 2
-                  + (z[b:b + 1, :] - cz_col) ** 2)  # (m, n)
-            within = (d2 < radius * radius).astype(jnp.float32)
-            wm_ref[b * m:(b + 1) * m, :] = within
+            # (n, m) orientation: points on sublanes matches the p-major
+            # pair-row layout, so the pool stage reduces the leading axis
+            px_col = _row_to_col(x[b:b + 1, :], n)
+            py_col = _row_to_col(y[b:b + 1, :], n)
+            pz_col = _row_to_col(z[b:b + 1, :], n)
+            d2t = ((px_col - cxa[b:b + 1, :]) ** 2
+                   + (py_col - cya[b:b + 1, :]) ** 2
+                   + (pz_col - cza[b:b + 1, :]) ** 2)  # (n, m)
+            wm_ref[b * n:(b + 1) * n, :] = (
+                d2t < radius * radius).astype(jnp.float32)
             centers3 = jnp.concatenate([cx_col, cy_col, cz_col], 1)  # (m, 3)
             cw1 = lax.dot_general(
                 centers3.astype(jnp.bfloat16), w1[0:3, :],
@@ -314,11 +322,11 @@ def _kernel(pts_ref, *refs, npoint, nsample, radius,
             # bf16 round-trip so pair values bit-match the selection path's
             # bf16 pw gather
             pw = pw.astype(jnp.bfloat16).astype(jnp.float32)
-            # p-major pair rows r = p*m + c: pw element-repeats (broadcast
-            # slices), cw1 block-repeats
-            pw_rep = jnp.concatenate(
-                [jnp.broadcast_to(pw[p:p + 1, :], (m, h1)) for p in range(n)],
-                axis=0)  # (n*m, H1)
+            # p-major pair rows r = p*m + c: pw element-repeats (one
+            # broadcast over an inserted sublane-group axis), cw1
+            # block-repeats
+            pw_rep = jnp.broadcast_to(
+                pw[:, None, :], (n, m, h1)).reshape(n * m, h1)
             cw1_rep = pltpu.repeat(cw1, n, 0)  # (n*m, H1)
             g_ref[b * opc:(b + 1) * opc, :] = jnp.maximum(
                 a1 * (pw_rep - cw1_rep) + b1, 0.0).astype(jnp.bfloat16)
@@ -405,13 +413,10 @@ def _kernel(pts_ref, *refs, npoint, nsample, radius,
         h = g_ref[s * opc:(s + sobj) * opc, :]
         h = jnp.maximum(dot(h, w2) * a2 + b2, 0.0)
         h = jnp.maximum(dot(h, w3) * a3 + b3, 0.0)  # (sobj*opc, H3)
-        for bb in range(sobj):
-            pooled = jnp.full((npoint, h3), -3.0e38, jnp.float32)
-            for sl in range(nsample):
-                seg = slice(bb * opc + sl * npoint,
-                            bb * opc + (sl + 1) * npoint)
-                pooled = jnp.maximum(pooled, h[seg, :])
-            pooled_ref[s + bb, :, :] = pooled
+        # slot-major rows (r = sl*m + c): the slot max is one reduction over
+        # an inserted leading axis, not nsample unrolled (m, h3) maxima
+        pooled_ref[s:s + sobj, :, :] = jnp.max(
+            h.reshape(sobj, nsample, npoint, h3), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "nsample", "radius",
@@ -534,8 +539,8 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
         scratch_shapes=(
             [pltpu.VMEM((bo * npoint * min(nsample, N), hs[0]),
                         jnp.bfloat16)]
-            + ([pltpu.VMEM((bo * npoint, N), jnp.float32)]
-               if nsample >= N else [])  # dense path: within masks
+            + ([pltpu.VMEM((bo * N, npoint), jnp.float32)]
+               if nsample >= N else [])  # dense: transposed within masks
         ),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -573,19 +578,22 @@ def fold_shared_mlp(shared_mlp):
 # kernel opaque; it is only ever used under freeze=True where these gradients
 # are discarded anyway.
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3, 10, 11))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3, 10, 11, 12))
 def fused_sa_forward_frozen(pts, npoint, nsample, radius,
                             w1, s1, w2, s2, w3, s3,
-                            block_objects=16, split_fps=False):
+                            block_objects=16, split_fps=False,
+                            interpret=False):
     return fused_sa_forward(pts, npoint, nsample, radius,
                             w1, s1, w2, s2, w3, s3,
-                            block_objects=block_objects, split_fps=split_fps)
+                            block_objects=block_objects, split_fps=split_fps,
+                            interpret=interpret)
 
 
 @fused_sa_forward_frozen.defjvp
-def _fsa_jvp(npoint, nsample, radius, block_objects, split_fps,
+def _fsa_jvp(npoint, nsample, radius, block_objects, split_fps, interpret,
              primals, tangents):
     del tangents
     out = fused_sa_forward_frozen(primals[0], npoint, nsample, radius,
-                                  *primals[1:], block_objects, split_fps)
+                                  *primals[1:], block_objects, split_fps,
+                                  interpret)
     return out, jax.tree.map(jnp.zeros_like, out)

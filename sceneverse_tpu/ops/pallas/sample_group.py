@@ -249,24 +249,24 @@ def fused_sample_and_group(pts: Array, npoint: int, nsample: int,
 # backward = deterministic scatter-adds from the saved indices (the CUDA
 # reference uses atomicAdd backward kernels, group_points_gpu.cu:44-74).
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
 def sample_and_group(pts: Array, npoint: int, nsample: int, radius: float,
-                     exact: bool = True):
+                     exact: bool = True, interpret: bool = False):
     """(G, N, C) -> (grouped (G, m, ns, C), new_xyz (G, m, 3))."""
     grouped, new_xyz, _, _ = fused_sample_and_group(
-        pts, npoint, nsample, radius, exact=exact
+        pts, npoint, nsample, radius, exact=exact, interpret=interpret
     )
     return grouped, new_xyz
 
 
-def _sg_fwd(pts, npoint, nsample, radius, exact):
+def _sg_fwd(pts, npoint, nsample, radius, exact, interpret):
     grouped, new_xyz, fps_idx, bq_idx = fused_sample_and_group(
-        pts, npoint, nsample, radius, exact=exact
+        pts, npoint, nsample, radius, exact=exact, interpret=interpret
     )
     return (grouped, new_xyz), (fps_idx, bq_idx, pts.shape)
 
 
-def _sg_bwd(npoint, nsample, radius, exact, res, grads):
+def _sg_bwd(npoint, nsample, radius, exact, interpret, res, grads):
     fps_idx, bq_idx, shape = res
     dgrouped, dnew = grads
     G, N, C = shape

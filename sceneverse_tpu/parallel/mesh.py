@@ -165,6 +165,57 @@ def shard_module(module, mesh: Mesh) -> None:
     nnx.update(module, state)
 
 
+# ---------------------------------------------------------------------------
+# Ambient mesh discovery for kernel call sites.
+#
+# GSPMD has no partitioning rule for an opaque pallas_call: given dp-sharded
+# operands it inserts an ALL-GATHER and runs the kernel fully replicated on
+# every device (verified on the 8-device CPU mesh) — each chip would process
+# the whole global batch through the fused SA/MHA kernels. The fix is
+# jax.shard_map over 'dp' at the call sites, which needs the mesh at trace
+# time. Two discovery paths: the innermost `with mesh:` context (tests,
+# dryrun_multichip), and the trainer-registered active mesh (the trainer
+# shards via NamedSharding placement without entering a mesh context).
+# ---------------------------------------------------------------------------
+_ACTIVE: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    """Register the mesh kernel call sites should shard_map over (trainer)."""
+    global _ACTIVE
+    _ACTIVE = mesh
+
+
+def ambient_dp_mesh() -> Optional[Mesh]:
+    """The mesh governing the current trace, if its 'dp' axis is non-trivial.
+
+    Checks the physical `with mesh:` context first (jax keeps it on
+    thread_resources; there is no public accessor for the *physical* context
+    in jax 0.9 — get_abstract_mesh only sees `use_mesh`), then the
+    trainer-registered active mesh."""
+    from jax._src import mesh as mesh_lib
+
+    m = mesh_lib.thread_resources.env.physical_mesh
+    if m is None or m.empty:
+        m = _ACTIVE
+    if m is None or "dp" not in m.axis_names or m.shape["dp"] <= 1:
+        return None
+    return m
+
+
+def dp_shard_map(fn, mesh: Mesh, n_sharded: int, n_replicated: int = 0):
+    """shard_map ``fn`` over the mesh's 'dp' axis: the first ``n_sharded``
+    args are dim-0 sharded, the next ``n_replicated`` replicated; every
+    output is dim-0 sharded. The caller must ensure dim 0 of each sharded
+    arg divides dp."""
+    in_specs = (P("dp"),) * n_sharded + (P(),) * n_replicated
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, which the vma checker requires; the bodies are pure
+    # per-shard compute (no collectives), so the check adds nothing here
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=P("dp"), check_vma=False)
+
+
 # Backwards-compatible cached accessor (pre-round-2 API).
 _MESH: Optional[Mesh] = None
 

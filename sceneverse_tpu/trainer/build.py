@@ -157,6 +157,12 @@ class BaseTrainer:
         # ('dp', 'mp') mesh resolved from config + hardware — the same code
         # path dryrun_multichip exercises (parallel/mesh.py)
         self.mesh = mesh_from_cfg(cfg)
+        # register for ambient discovery: the fused Pallas kernel call sites
+        # shard_map over this mesh's dp axis (GSPMD has no partitioning rule
+        # for an opaque pallas_call and would replicate it on every device)
+        from sceneverse_tpu.parallel.mesh import set_active_mesh
+
+        set_active_mesh(self.mesh)
 
         from sceneverse_tpu.utils.profiling import setup_from_config
 

@@ -163,3 +163,79 @@ def test_trainer_e2e_dp4(tmp_path):
     results = trainer.run()
     assert "og_acc_iou25" in results
     assert np.isfinite(results["target_metric"])
+
+
+def _fused_forward(dp, num_obj=4, num_points=256):
+    """GPS forward with the REAL fused kernels (interpret mode) under a
+    dp-sharded batch. Requires SCENEVERSE_PALLAS_INTERPRET=1 in the env."""
+    cfg = _small_cfg(dp)
+    mesh = mesh_from_cfg(cfg)
+    model = build_model(cfg, rngs=nnx.Rngs(0))
+    model.eval()
+    # the freeze gate wired the fully-fused SA path at construction
+    assert all(getattr(sa, "fused_frozen", False)
+               for sa in model.point_encoder.point_feature_extractor.encoder)
+    shard_module(model, mesh)
+    batch = _gps_batch(B, num_obj=num_obj, num_points=num_points,
+                       seq_len=16, vocab=1024, cap_len=16)
+    batch = shard_batch(batch, mesh)
+
+    @nnx.jit
+    def fwd(model, batch):
+        out = model(batch)
+        return out["og3d_logits"], out["txt_lm_cls_logits"]
+
+    with mesh:
+        out = fwd(model, batch)
+        jax.block_until_ready(out)
+    return jax.tree.map(np.asarray, out)
+
+
+def test_fused_kernels_interpret_under_dp_mesh(monkeypatch):
+    """The fused SA + fused MHA Pallas kernels execute under a dp=4-sharded
+    batch (VERDICT r3 item 1: they previously only ever ran unsharded — the
+    first sharded run would have been on real pod hardware). The call sites
+    shard_map over the ambient dp axis (parallel/mesh.py ambient_dp_mesh);
+    without that GSPMD all-gathers the operands and runs the opaque kernel
+    replicated on every device. Eval mode: dp=4 output == dp=1 output."""
+    monkeypatch.setenv("SCENEVERSE_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("SCENEVERSE_FUSED_MHA", "on")
+    og1, lm1 = _fused_forward(dp=1)
+    og4, lm4 = _fused_forward(dp=4)
+    np.testing.assert_allclose(og4, og1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(lm4, lm1, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_kernels_interpret_train_step_dp4(monkeypatch):
+    """Train-mode smoke under the mesh with the fused kernels: dropout>0
+    exercises the per-shard seed decorrelation (axis_index fold) inside
+    shard_map; the step must produce a finite loss and updated params."""
+    monkeypatch.setenv("SCENEVERSE_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("SCENEVERSE_FUSED_MHA", "on")
+    cfg = _small_cfg(dp=4)
+    mesh = mesh_from_cfg(cfg)
+    model = build_model(cfg, rngs=nnx.Rngs(0))
+    model.train()
+    loss_mod, tx, _, _ = build_optim(cfg, model, total_steps=100)
+    optimizer = nnx.Optimizer(model, tx, wrt=nnx.Param)
+    shard_module(model, mesh)
+    shard_module(optimizer, mesh)
+    batch = _gps_batch(B, num_obj=4, num_points=256, seq_len=16,
+                       vocab=1024, cap_len=16)
+    batch = shard_batch(batch, mesh)
+
+    @nnx.jit
+    def train_step(model, optimizer, batch):
+        def loss_fn(model):
+            out = model(batch)
+            total, _ = loss_mod(out)
+            return total
+
+        total, grads = nnx.value_and_grad(loss_fn)(model)
+        optimizer.update(model, grads)
+        return total
+
+    with mesh:
+        total = train_step(model, optimizer, batch)
+        jax.block_until_ready(total)
+    assert np.isfinite(float(total))
