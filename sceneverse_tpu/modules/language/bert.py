@@ -142,7 +142,10 @@ class BertSelfOutput(nnx.Module):
         self.dropout = nnx.Dropout(cfg.hidden_dropout_prob, rngs=rngs)
 
     def __call__(self, hidden: Array, residual: Array):
-        return self.LayerNorm(self.dropout(self.dense(hidden)) + residual)
+        from sceneverse_tpu.modules.layers.transformers import _ln_split
+
+        return self.LayerNorm(
+            _ln_split(self.dropout(self.dense(hidden)) + residual))
 
 
 class BertAttention(nnx.Module):
@@ -163,9 +166,12 @@ class BertLayer(nnx.Module):
         self.output_dropout = nnx.Dropout(cfg.hidden_dropout_prob, rngs=rngs)
 
     def __call__(self, x: Array, attn_bias: Array):
+        from sceneverse_tpu.modules.layers.transformers import _ln_split
+
         x = self.attention(x, attn_bias)
         h = jax.nn.gelu(self.intermediate_dense(x), approximate=False)
-        return self.output_LayerNorm(self.output_dropout(self.output_dense(h)) + x)
+        return self.output_LayerNorm(
+            _ln_split(self.output_dropout(self.output_dense(h)) + x))
 
 
 class BertModel(nnx.Module):

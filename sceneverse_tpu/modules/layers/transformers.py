@@ -30,6 +30,26 @@ Array = jax.Array
 NEG_INF = float("-inf")
 
 
+def _ln_split(x):
+    """Optionally split a post-norm LayerNorm off its producing fusion.
+
+    XLA fuses the residual-producing matmul (FFN down-proj / attention
+    out-proj) together with the LN-stats epilogue, and the b192 device trace
+    put those combined fusions at ~20% of MXU peak. SCENEVERSE_LN_BARRIER=1
+    inserts an optimization_barrier between the residual sum and the LN so
+    the matmul compiles into its own fusion. Numerically a no-op.
+
+    MEASURED NEUTRAL on the full step (off 1191.0 vs on 1184.9 scenes/s at
+    batch 192, round 4) — the epilogue was not the drag; the combined
+    fusion is already balanced against its HBM traffic. Default off; kept
+    as a profiling knob."""
+    import os
+
+    if os.environ.get("SCENEVERSE_LN_BARRIER"):
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
 def _dropout_seed(dropout: nnx.Dropout):
     """Per-call int32 seed for the fused kernel's in-kernel prob-dropout,
     drawn from the module's own dropout stream (stateful: each call — and
@@ -188,13 +208,13 @@ class CrossAttentionLayer(nnx.Module):
         )
         tgt = tgt + self.dropout2(tgt2)
         if not self.prenorm:
-            tgt = self.norm1(tgt)
+            tgt = self.norm1(_ln_split(tgt))
         if self.prenorm:
             tgt2 = self.norm3(tgt)
         tgt2 = self.linear2(self.dropout(self.activation(self.linear1(tgt2))))
         tgt = tgt + self.dropout3(tgt2)
         if not self.prenorm:
-            tgt = self.norm3(tgt)
+            tgt = self.norm3(_ln_split(tgt))
         return tgt, cross_attn
 
 
@@ -259,13 +279,13 @@ class TransformerEncoderLayer(nnx.Module):
         )
         tgt = tgt + self.dropout1(tgt2)
         if not self.prenorm:
-            tgt = self.norm1(tgt)
+            tgt = self.norm1(_ln_split(tgt))
         if self.prenorm:
             tgt = self.norm2(tgt)
         tgt2 = self.linear2(self.dropout(self.activation(self.linear1(tgt))))
         tgt = tgt + self.dropout2(tgt2)
         if not self.prenorm:
-            tgt = self.norm2(tgt)
+            tgt = self.norm2(_ln_split(tgt))
         return tgt, self_attn
 
 
@@ -478,8 +498,8 @@ class TransformerSpatialEncoderLayer(TransformerEncoderLayer):
             key_padding_mask=tgt_key_padding_mask,
         )
         tgt = tgt + self.dropout1(tgt2)
-        tgt = self.norm1(tgt)
+        tgt = self.norm1(_ln_split(tgt))
         tgt2 = self.linear2(self.dropout(self.activation(self.linear1(tgt))))
         tgt = tgt + self.dropout2(tgt2)
-        tgt = self.norm2(tgt)
+        tgt = self.norm2(_ln_split(tgt))
         return tgt, self_attn

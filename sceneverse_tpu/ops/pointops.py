@@ -105,8 +105,27 @@ def group_points(points: Array, idx: Array) -> Array:
       (B, M, S, C).
     """
     B, M, S = idx.shape
+    N, C = points.shape[1], points.shape[2]
+    if N <= 128:
+        # Small source sets (SA2: N=32): XLA lowers take_along_axis to an
+        # elementwise gather and its grad to a sort-based scatter-add — a
+        # b64 unfreeze device trace put SA2's group gathers at 54 ms/step
+        # and the backward scatter at 36 ms/step (BASELINE.md round 4).
+        # A one-hot batched matmul runs both on the MXU instead; autodiff
+        # of the dot gives the backward scatter as the transposed one-hot
+        # dot for free. Exactness: one-hot rows select single source rows
+        # (one nonzero product of x*1.0 per output element), and HIGHEST
+        # precision makes f32 passthrough bit-exact (default-precision f32
+        # dots round operands to bf16).
+        onehot = (idx.reshape(B, M * S)[:, :, None]
+                  == jnp.arange(N, dtype=idx.dtype)).astype(points.dtype)
+        out = jax.lax.dot_general(
+            onehot, points, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=points.dtype)
+        return out.reshape(B, M, S, C)
     flat = jnp.take_along_axis(points, idx.reshape(B, M * S, 1), axis=1)
-    return flat.reshape(B, M, S, points.shape[-1])
+    return flat.reshape(B, M, S, C)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "nsample"))

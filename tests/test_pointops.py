@@ -124,6 +124,19 @@ def test_gather_and_group_points():
     np.testing.assert_allclose(got, want)
 
 
+def test_group_points_onehot_branch_bit_exact():
+    # N <= 128 routes through the one-hot MXU matmul (pointops.py): HIGHEST
+    # precision must make f32 passthrough BIT-exact vs fancy indexing, and
+    # the N > 128 take_along_axis branch must agree too.
+    rng = np.random.RandomState(7)
+    for n in (32, 300):
+        pts = rng.randn(3, n, 7).astype(np.float32)
+        idx = rng.randint(0, n, size=(3, 5, 4)).astype(np.int32)
+        got = np.asarray(group_points(jnp.asarray(pts), jnp.asarray(idx)))
+        want = np.stack([pts[b][idx[b]] for b in range(3)])
+        np.testing.assert_array_equal(got, want)
+
+
 def test_group_points_grad_is_scatter_add():
     # CUDA backward uses atomicAdd (group_points_gpu.cu:44-74); XLA's derived
     # gradient must be the equivalent (deterministic) scatter-add.

@@ -81,7 +81,10 @@ def ref():
     fvr.Registry = _Registry
     fv.common, fvc.registry = fvc, fvr
     common = types.ModuleType("common")
-    common.__path__ = []
+    # resolve UN-stubbed submodules (e.g. common.box_utils, needed by
+    # scanqa_eval) from the real reference package; the explicitly stubbed
+    # ones below win via sys.modules
+    common.__path__ = [REF + "/common"]
     tu = types.ModuleType("common.type_utils")
     tu.cfg2dict = lambda c: dict(c)
     du = types.ModuleType("common.dist_utils")
@@ -93,16 +96,32 @@ def ref():
     oc = types.ModuleType("omegaconf")
     import contextlib
     oc.open_dict = contextlib.nullcontext
+    # reference data/build.py does `from omegaconf import OmegaConf` at
+    # import time (pulled in transitively by evaluator/__init__ ->
+    # scanqa_eval -> data.data_utils); only the name needs to exist
+    oc.OmegaConf = type("OmegaConf", (), {})
+    oc.DictConfig = dict
     common.type_utils, common.dist_utils, common.misc = tu, du, mi
     # the CUDA pointnet2 extension is not importable on this host; stub the
     # module so `modules.layers.pointnet` (imported transitively via
     # model/__init__) loads — the test injects vision features instead
     pn2 = types.ModuleType("modules.third_party.pointnet2.pointnet2_modules")
     pn2.PointnetSAModule = type("PointnetSAModule", (), {})
+    # import-time-only deps of the reference data/ chain (pulled in by
+    # evaluator/__init__ -> scanqa_eval -> data.data_utils): none of the
+    # stubs are exercised — the test feeds tensors straight to the evaluator
+    jl = types.ModuleType("jsonlines")
+    jl.open = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("jsonlines stub"))
+    alb = types.ModuleType("albumentations")
+    alb.Compose = type("Compose", (), {})
+    vol = types.ModuleType("volumentations")
+    vol.Compose = type("Compose", (), {})
     sys.modules.update({
         "fvcore": fv, "fvcore.common": fvc, "fvcore.common.registry": fvr,
         "common": common, "common.type_utils": tu, "common.dist_utils": du,
         "common.misc": mi, "omegaconf": oc,
+        "jsonlines": jl, "albumentations": alb, "volumentations": vol,
         "modules.third_party.pointnet2.pointnet2_modules": pn2,
         # model/objcls.py imports the OpenAI `clip` package (not in image);
         # only module presence is needed at import time
