@@ -28,12 +28,13 @@ os.environ.setdefault("SCENEVERSE_PALLAS_FAST", "1")
 
 A100_SCENES_PER_SEC = 128.0  # estimated reference throughput per A100 at batch 64
 
-# Per-chip batch 192: the measured v5e throughput optimum once the fused
-# attention kernel removed the (B,H,L,T) score/prob/dropout residual chain
-# from HBM (128 -> 1035.9, 192 -> 1043-1046 scenes/s; it OOM'd in every
-# earlier round). Batch 128 (= the reference's exact global 512 at dp=4,
-# all_pretrain.yaml:8) remains one env var away.
-BATCH = int(os.environ.get("SCENEVERSE_BENCH_BATCH", 192))
+# Per-chip batch 256: the measured v5e throughput optimum after the
+# one-hot-grouping + packed-MHA HBM savings of round 4 (192 -> 1189.6,
+# 224 -> 1192.6, 256 -> 1218.2, 320 -> 1198.8 scenes/s, 384 OOM-predicted
+# at 14.6 GiB; with MHA block-batch 4 on, 256 -> 1234.2). Batch 128
+# (= the reference's exact global 512 at dp=4, all_pretrain.yaml:8)
+# remains one env var away.
+BATCH = int(os.environ.get("SCENEVERSE_BENCH_BATCH", 256))
 NUM_OBJ = 80
 NUM_POINTS = 1024
 SEQ_LEN = 50
@@ -46,6 +47,13 @@ BLOCKS = 3
 def main(bf16: bool = True):
     import jax
     from flax import nnx
+
+    from sceneverse_tpu.utils.prng import configure_default_prng
+
+    # rbg dropout-bit generation on TPU: 1225.0 -> 1417.1 scenes/s at batch
+    # 256 (threefry xor-chains were ~16% of the step). Must precede the
+    # nnx.Rngs below. SCENEVERSE_PRNG_IMPL overrides.
+    configure_default_prng()
 
     import sceneverse_tpu.model  # noqa: F401
     from sceneverse_tpu.model import build_model
@@ -115,10 +123,17 @@ def main(bf16: bool = True):
     step_flops = 0.0
     try:
         compiled = train_k.lower(state, batch).compile()
-        cost = compiled.cost_analysis()
+        # FLOP count from a SINGLE unscanned step: XLA's cost analysis
+        # counts a while-loop body once regardless of trip count, so
+        # analyzing train_k and dividing by SCAN_STEPS under-reported the
+        # numerator ~5x (round 4; the analytic tower math says ~30
+        # GFLOP/scene on the XLA side at GPS shapes, the scanned count gave
+        # 5.3). Timing still uses the scanned executable.
+        cost = jax.jit(train_step).lower(state, batch).compile(
+        ).cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        step_flops = float(cost.get("flops", 0.0)) / SCAN_STEPS
+        step_flops = float(cost.get("flops", 0.0))
         # OOM guard (opt-in): a device OOM wedges the axon client
         # permanently, so when SCENEVERSE_BENCH_MEMCHECK is set, bail out
         # BEFORE executing if the compiled executable's HBM demand exceeds
@@ -142,6 +157,7 @@ def main(bf16: bool = True):
     # unfreeze ablation the tower runs (and is counted) as plain XLA ops
     pallas_flops = (0.0 if unfreeze
                     else _pallas_vision_flops(BATCH, NUM_OBJ, NUM_POINTS))
+    pallas_flops += _fused_mha_flops(train_step, state, batch)
 
     for _ in range(WARMUP):
         total, state = train_k(state, batch)
@@ -172,6 +188,39 @@ def main(bf16: bool = True):
         out["gflops_per_scene"] = round(total / BATCH / 1e9, 1)
         out["gflops_per_scene_xla"] = round(step_flops / BATCH / 1e9, 1)
     print(json.dumps(out))
+
+
+def _fused_mha_flops(train_step, state, batch):
+    """Executed MXU FLOPs of the fused attention kernels per step (also
+    opaque to XLA's cost analysis). Counts calls by tracing the step with a
+    recording wrapper (jax.eval_shape — no compile); per call the packed
+    kernel executes 128-lane-wide dots (off-head lanes carry zeros), so each
+    head's dot is L*T*128 MACs regardless of dh, and fwd+bwd run 7 such dots
+    per head (fwd: QK^T + PV; bwd recompute: S, dV, dP, dQ, dK)."""
+    from sceneverse_tpu.ops.pallas import mha as mha_mod
+
+    calls = []
+    orig = mha_mod.fused_mha
+
+    def recording(q, k, v, n_heads, *a, **kw):
+        B, L, D = q.shape
+        calls.append((B, L, k.shape[1], n_heads))
+        return orig(q, k, v, n_heads, *a, **kw)
+
+    mha_mod.fused_mha = recording
+    try:
+        import jax
+
+        jax.eval_shape(train_step, state, batch)
+    except Exception as e:  # count omitted, bench still valid — but say so
+        import sys
+
+        print(f"[bench] fused-MHA FLOP count skipped: {type(e).__name__}: "
+              f"{e}", file=sys.stderr)
+        calls.clear()
+    finally:
+        mha_mod.fused_mha = orig
+    return sum(7 * 2.0 * B * L * T * 128 * H for B, L, T, H in calls)
 
 
 def _pallas_vision_flops(batch, num_obj, num_points):

@@ -144,12 +144,12 @@ def _dropmask(shape, seed_scalar, keep, hw_prng):
     return _uniform01_hash(shape, seed_scalar) < keep
 
 
-def _gate_z(sw, locs_ref, padrow):
+def _gate_z(sw, locs, padrow):
     """Spatial 'cond' gate logits z (L, T) from per-query weights sw (L, 8)
-    [bias, w0..w4, pad, pad] and location planes locs_ref (1, 5, L, T)."""
+    [bias, w0..w4, pad, pad] and location planes locs (5, L, T)."""
     z = sw[:, 0:1]
     for d in range(5):
-        z = z + sw[:, d + 1:d + 2] * locs_ref[0, d]
+        z = z + sw[:, d + 1:d + 2] * locs[d]
     return z
 
 
@@ -166,143 +166,146 @@ def _zero_off_head(x, dh, i):
 
 
 def _mha_fwd_kernel(q_ref, k_ref, v_ref, pad_ref, seed_ref, *rest,
-                    scale, rate, gate, H, dh, hw_prng=True):
+                    scale, rate, gate, H, dh, hw_prng=True, bob=1):
     if gate:
         sw_ref, locs_ref, o_ref, lse_ref = rest
     else:
         o_ref, lse_ref = rest
-    b = pl.program_id(0)
-    padrow = pad_ref[0, :, :]  # (1, T) additive: 0 valid, -1e30 pad
     keep = 1.0 - rate
     L, D = q_ref.shape[1], q_ref.shape[2]
     bw, hpb = _block_geometry(D, dh)
-    for j in range(D // bw):
-        qp = q_ref[0, :, j * bw:(j + 1) * bw]  # (L, bw)
-        kp = k_ref[0, :, j * bw:(j + 1) * bw]  # (T, bw)
-        vp = v_ref[0, :, j * bw:(j + 1) * bw]  # (T, bw)
-        acc = jnp.zeros((L, bw), jnp.float32)
-        for i in range(hpb):
-            h = j * hpb + i
-            # off-head q lanes zeroed -> the bw-wide contraction IS the
-            # per-head (dh-wide) score dot
-            s = jax.lax.dot_general(
-                _zero_off_head(qp, dh, i), kp, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale + padrow  # (L, T) f32
-            if gate:
-                z = _gate_z(sw_ref[0, h], locs_ref, padrow)
-                loc = jnp.maximum(jax.nn.log_sigmoid(z), _LOG1E6)
-                loc = jnp.where(padrow < -1.0, _LOG1E6, loc)
-                s = s + loc
-            m = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp(s - m)
-            tot = jnp.sum(p, axis=1, keepdims=True)
-            lse_ref[0, h] = m + jnp.log(tot)
-            pn = (p / tot).astype(v_ref.dtype)  # value-dtype probs
-            if rate > 0.0:
-                dropmask = _dropmask(pn.shape, seed_ref[0] + b * H + h,
-                                     keep, hw_prng)
-                pn = jnp.where(dropmask, pn * (1.0 / keep),
-                               0.0).astype(v_ref.dtype)
-            # off-head v lanes zeroed -> head outputs land disjoint; sum
-            acc = acc + jax.lax.dot_general(
-                pn, _zero_off_head(vp, dh, i), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        o_ref[0, :, j * bw:(j + 1) * bw] = acc.astype(o_ref.dtype)
+    for bi in range(bob):
+        b = pl.program_id(0) * bob + bi
+        padrow = pad_ref[bi, :, :]  # (1, T) additive: 0 valid, -1e30 pad
+        for j in range(D // bw):
+            qp = q_ref[bi, :, j * bw:(j + 1) * bw]  # (L, bw)
+            kp = k_ref[bi, :, j * bw:(j + 1) * bw]  # (T, bw)
+            vp = v_ref[bi, :, j * bw:(j + 1) * bw]  # (T, bw)
+            acc = jnp.zeros((L, bw), jnp.float32)
+            for i in range(hpb):
+                h = j * hpb + i
+                # off-head q lanes zeroed -> the bw-wide contraction IS the
+                # per-head (dh-wide) score dot
+                s = jax.lax.dot_general(
+                    _zero_off_head(qp, dh, i), kp, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale + padrow  # (L, T) f32
+                if gate:
+                    z = _gate_z(sw_ref[bi, h], locs_ref[bi], padrow)
+                    loc = jnp.maximum(jax.nn.log_sigmoid(z), _LOG1E6)
+                    loc = jnp.where(padrow < -1.0, _LOG1E6, loc)
+                    s = s + loc
+                m = jnp.max(s, axis=1, keepdims=True)
+                p = jnp.exp(s - m)
+                tot = jnp.sum(p, axis=1, keepdims=True)
+                lse_ref[bi, h] = m + jnp.log(tot)
+                pn = (p / tot).astype(v_ref.dtype)  # value-dtype probs
+                if rate > 0.0:
+                    dropmask = _dropmask(pn.shape, seed_ref[0] + b * H + h,
+                                         keep, hw_prng)
+                    pn = jnp.where(dropmask, pn * (1.0 / keep),
+                                   0.0).astype(v_ref.dtype)
+                # off-head v lanes zeroed -> head outputs land disjoint; sum
+                acc = acc + jax.lax.dot_general(
+                    pn, _zero_off_head(vp, dh, i), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            o_ref[bi, :, j * bw:(j + 1) * bw] = acc.astype(o_ref.dtype)
 
 
 def _mha_bwd_kernel(q_ref, k_ref, v_ref, pad_ref, seed_ref, *rest,
-                    scale, rate, gate, H, dh, hw_prng=True):
+                    scale, rate, gate, H, dh, hw_prng=True, bob=1):
     if gate:
         (sw_ref, locs_ref, do_ref, o_ref, lse_ref,
          dq_ref, dk_ref, dv_ref, dsw_ref) = rest
     else:
         do_ref, o_ref, lse_ref, dq_ref, dk_ref, dv_ref = rest
-    b = pl.program_id(0)
-    padrow = pad_ref[0, :, :]
     keep = 1.0 - rate
     cdt = q_ref.dtype
     L, D = q_ref.shape[1], q_ref.shape[2]
     bw, hpb = _block_geometry(D, dh)
-    for j in range(D // bw):
-        qp = q_ref[0, :, j * bw:(j + 1) * bw]
-        kp = k_ref[0, :, j * bw:(j + 1) * bw]
-        vp = v_ref[0, :, j * bw:(j + 1) * bw]
-        dop = do_ref[0, :, j * bw:(j + 1) * bw]
-        dof = dop.astype(jnp.float32)
-        oof = o_ref[0, :, j * bw:(j + 1) * bw].astype(jnp.float32)
-        doo = dof * oof  # (L, bw); per-head delta = its masked row-sum
-        dq_acc = jnp.zeros((L, bw), jnp.float32)
-        dk_acc = jnp.zeros((kp.shape[0], bw), jnp.float32)
-        dv_acc = jnp.zeros((kp.shape[0], bw), jnp.float32)
-        for i in range(hpb):
-            h = j * hpb + i
-            mL = _head_lane_mask(L, bw, dh, i)
-            qi = jnp.where(mL, qp, jnp.zeros_like(qp))
-            s = jax.lax.dot_general(
-                qi, kp, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale + padrow
-            if gate:
-                z = _gate_z(sw_ref[0, h], locs_ref, padrow)
-                ls = jax.nn.log_sigmoid(z)
-                loc = jnp.where(padrow < -1.0, _LOG1E6,
-                                jnp.maximum(ls, _LOG1E6))
-                s = s + loc
-            p = jnp.exp(s - lse_ref[0, h])  # normalized probs, f32
-            delta = jnp.sum(jnp.where(mL, doo, 0.0), axis=1,
-                            keepdims=True)  # (L, 1)
-            pb = p.astype(cdt)
-            doi = jnp.where(mL, dop, jnp.zeros_like(dop)).astype(cdt)
-            if rate > 0.0:
-                # fwd-identical mask (same seed derivation)
-                dropmask = _dropmask(p.shape, seed_ref[0] + b * H + h,
-                                     keep, hw_prng)
-                a = jnp.where(dropmask, pb * (1.0 / keep), 0.0).astype(cdt)
-            else:
-                a = pb
-            # doi's off-head lanes are zero -> dv lands only on head i's
-            # lanes; accumulate additively into the packed block
-            dv_acc = dv_acc + jax.lax.dot_general(  # a^T @ doi -> (T, bw)
-                a, doi, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dp = jax.lax.dot_general(  # doi @ vp^T -> (L, T); doi masked
-                doi, vp, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if rate > 0.0:
-                dp = jnp.where(dropmask, dp * (1.0 / keep), 0.0)
-            ds = p * (dp - delta)  # (L, T) f32
-            if gate:
-                active = (ls > _LOG1E6) & (padrow >= -1.0)
-                dz = jnp.where(active, ds * jax.nn.sigmoid(-z), 0.0)
-                cols = [jnp.sum(dz, axis=1, keepdims=True)]
-                for d in range(5):
-                    cols.append(jnp.sum(dz * locs_ref[0, d], axis=1,
-                                        keepdims=True))
-                cols.append(jnp.zeros_like(cols[0]))
-                cols.append(jnp.zeros_like(cols[0]))
-                dsw_ref[0, h] = jnp.concatenate(cols, axis=1)  # (L, 8)
-            dsb = ds.astype(cdt)
-            ki = _zero_off_head(kp, dh, i)
-            dq_acc = dq_acc + jax.lax.dot_general(  # ds @ ki -> (L, bw)
-                dsb, ki, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            dk_acc = dk_acc + jax.lax.dot_general(  # ds^T @ qi -> (T, bw)
-                dsb, qi, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-        dq_ref[0, :, j * bw:(j + 1) * bw] = dq_acc.astype(dq_ref.dtype)
-        dk_ref[0, :, j * bw:(j + 1) * bw] = dk_acc.astype(dk_ref.dtype)
-        dv_ref[0, :, j * bw:(j + 1) * bw] = dv_acc.astype(dv_ref.dtype)
+    for bi in range(bob):
+        b = pl.program_id(0) * bob + bi
+        padrow = pad_ref[bi, :, :]
+        for j in range(D // bw):
+            qp = q_ref[bi, :, j * bw:(j + 1) * bw]
+            kp = k_ref[bi, :, j * bw:(j + 1) * bw]
+            vp = v_ref[bi, :, j * bw:(j + 1) * bw]
+            dop = do_ref[bi, :, j * bw:(j + 1) * bw]
+            dof = dop.astype(jnp.float32)
+            oof = o_ref[bi, :, j * bw:(j + 1) * bw].astype(jnp.float32)
+            doo = dof * oof  # (L, bw); per-head delta = its masked row-sum
+            dq_acc = jnp.zeros((L, bw), jnp.float32)
+            dk_acc = jnp.zeros((kp.shape[0], bw), jnp.float32)
+            dv_acc = jnp.zeros((kp.shape[0], bw), jnp.float32)
+            for i in range(hpb):
+                h = j * hpb + i
+                mL = _head_lane_mask(L, bw, dh, i)
+                qi = jnp.where(mL, qp, jnp.zeros_like(qp))
+                s = jax.lax.dot_general(
+                    qi, kp, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale + padrow
+                if gate:
+                    z = _gate_z(sw_ref[bi, h], locs_ref[bi], padrow)
+                    ls = jax.nn.log_sigmoid(z)
+                    loc = jnp.where(padrow < -1.0, _LOG1E6,
+                                    jnp.maximum(ls, _LOG1E6))
+                    s = s + loc
+                p = jnp.exp(s - lse_ref[bi, h])  # normalized probs, f32
+                delta = jnp.sum(jnp.where(mL, doo, 0.0), axis=1,
+                                keepdims=True)  # (L, 1)
+                pb = p.astype(cdt)
+                doi = jnp.where(mL, dop, jnp.zeros_like(dop)).astype(cdt)
+                if rate > 0.0:
+                    # fwd-identical mask (same seed derivation)
+                    dropmask = _dropmask(p.shape, seed_ref[0] + b * H + h,
+                                         keep, hw_prng)
+                    a = jnp.where(dropmask, pb * (1.0 / keep),
+                                  0.0).astype(cdt)
+                else:
+                    a = pb
+                # doi's off-head lanes are zero -> dv lands only on head i's
+                # lanes; accumulate additively into the packed block
+                dv_acc = dv_acc + jax.lax.dot_general(  # a^T @ doi -> (T, bw)
+                    a, doi, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dp = jax.lax.dot_general(  # doi @ vp^T -> (L, T); doi masked
+                    doi, vp, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if rate > 0.0:
+                    dp = jnp.where(dropmask, dp * (1.0 / keep), 0.0)
+                ds = p * (dp - delta)  # (L, T) f32
+                if gate:
+                    active = (ls > _LOG1E6) & (padrow >= -1.0)
+                    dz = jnp.where(active, ds * jax.nn.sigmoid(-z), 0.0)
+                    cols = [jnp.sum(dz, axis=1, keepdims=True)]
+                    for d in range(5):
+                        cols.append(jnp.sum(dz * locs_ref[bi, d], axis=1,
+                                            keepdims=True))
+                    cols.append(jnp.zeros_like(cols[0]))
+                    cols.append(jnp.zeros_like(cols[0]))
+                    dsw_ref[bi, h] = jnp.concatenate(cols, axis=1)  # (L, 8)
+                dsb = ds.astype(cdt)
+                ki = _zero_off_head(kp, dh, i)
+                dq_acc = dq_acc + jax.lax.dot_general(  # ds @ ki -> (L, bw)
+                    dsb, ki, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                dk_acc = dk_acc + jax.lax.dot_general(  # ds^T @ qi -> (T, bw)
+                    dsb, qi, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+            dq_ref[bi, :, j * bw:(j + 1) * bw] = dq_acc.astype(dq_ref.dtype)
+            dk_ref[bi, :, j * bw:(j + 1) * bw] = dk_acc.astype(dk_ref.dtype)
+            dv_ref[bi, :, j * bw:(j + 1) * bw] = dv_acc.astype(dv_ref.dtype)
 
 
-def _specs(B, H, L, T, D, gate, extra=()):
+def _specs(B, H, L, T, D, gate, extra=(), bob=1):
     byb = lambda *shape: pl.BlockSpec(
-        (1,) + shape, lambda b: (b,) + (0,) * len(shape),
+        (bob,) + shape, lambda b: (b,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
     # pad row rides as (B, 1, T): Mosaic requires a block's sublane dim be
     # 8-divisible OR equal to the array dim — (1, T) blocks of a (B, T)
@@ -313,6 +316,20 @@ def _specs(B, H, L, T, D, gate, extra=()):
     if gate:
         specs += [byb(H, L, 8), byb(5, L, T)]
     return specs + list(extra)
+
+
+def _block_batch(B, gate):
+    """Batch elements per grid step. >1 amortizes per-step grid overhead
+    (the kernels run well above their FLOP floor at L<=130); VMEM bounds it.
+    Default 4: measured +1% full-step on v5e (round 4: 1189.6 -> 1201.3
+    scenes/s at batch 192, 1218.2 -> 1234.2 at batch 256; bob=8 was
+    neutral-to-worse). Env override: SCENEVERSE_MHA_BLOCK_B."""
+    env = os.environ.get("SCENEVERSE_MHA_BLOCK_B")
+    cap = int(env) if env else 4
+    bob = min(cap, B)
+    while B % bob:
+        bob -= 1
+    return bob
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
@@ -327,17 +344,19 @@ def _mha_fwd(q, k, v, padadd, sw8, locs5, seed, scale, rate, gate, interpret,
              H, dh):
     B, L, D = q.shape
     T = k.shape[1]
+    bob = _block_batch(B, gate)
     kern = functools.partial(_mha_fwd_kernel, scale=scale, rate=rate,
-                             gate=gate, H=H, dh=dh, hw_prng=not interpret)
+                             gate=gate, H=H, dh=dh, hw_prng=not interpret,
+                             bob=bob)
     ops = [q, k, v, padadd, seed] + ([sw8, locs5] if gate else [])
     o, lse = pl.pallas_call(
         kern,
-        grid=(B,),
-        in_specs=_specs(B, H, L, T, D, gate),
+        grid=(B // bob,),
+        in_specs=_specs(B, H, L, T, D, gate, bob=bob),
         out_specs=(
-            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0),
+            pl.BlockSpec((bob, L, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, L, 1), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((bob, H, L, 1), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -369,10 +388,12 @@ def _fused_bwd(scale, rate, gate, interpret, H, dh, res, g):
     q, k, v, padadd, sw8, locs5, seed, o, lse = res
     B, L, D = q.shape
     T = k.shape[1]
+    bob = _block_batch(B, gate)
     kern = functools.partial(_mha_bwd_kernel, scale=scale, rate=rate,
-                             gate=gate, H=H, dh=dh, hw_prng=not interpret)
+                             gate=gate, H=H, dh=dh, hw_prng=not interpret,
+                             bob=bob)
     byb = lambda *shape: pl.BlockSpec(
-        (1,) + shape, lambda b: (b,) + (0,) * len(shape),
+        (bob,) + shape, lambda b: (b,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
     extra = [byb(L, D), byb(L, D), byb(H, L, 1)]  # do, o, lse
     out_specs = [byb(L, D), byb(T, D), byb(T, D)]
@@ -391,8 +412,8 @@ def _fused_bwd(scale, rate, gate, interpret, H, dh, res, g):
            + [g, o, lse])
     outs = pl.pallas_call(
         kern,
-        grid=(B,),
-        in_specs=_specs(B, H, L, T, D, gate, extra),
+        grid=(B // bob,),
+        in_specs=_specs(B, H, L, T, D, gate, extra, bob=bob),
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,

@@ -10,11 +10,38 @@ f32 in our layers.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from flax import nnx
 
 _MATMUL_LAYERS = (nnx.Linear, nnx.Embed, nnx.Conv, nnx.LinearGeneral)
 _NORM_LAYERS = (nnx.LayerNorm, nnx.BatchNorm, nnx.RMSNorm, nnx.GroupNorm)
+
+
+def _ln_output_dtype(default=jnp.float32):
+    """Output dtype for LayerNorm under mixed precision. flax's
+    ``_compute_stats`` ALWAYS computes mean/var in f32 ("at least float32
+    for stability"); the layer ``dtype`` only sets what the normalized
+    result is cast to (``_normalize``) — bf16 halves the LN HBM write plus
+    the residual the VJP saves, and the next matmul casts to bf16 anyway.
+    Gate: SCENEVERSE_LN_BF16 (off|on)."""
+    v = os.environ.get("SCENEVERSE_LN_BF16", "off").lower()
+    return jnp.bfloat16 if v in ("1", "on", "true") else default
+
+
+def _bn_output_dtype(default=jnp.float32):
+    """Output dtype for BatchNorm under mixed precision; stats stay f32
+    exactly as for LayerNorm (see ``_ln_output_dtype``). Matters for the
+    trainable-vision (unfreeze) path, where BN normalizes the grouped
+    (B*num_obj, m, nsample, C) streams — the largest tensors in that step —
+    and the f32 normalize/backward pipes were 27.5 ms of the 128.9 ms b64
+    step. Default ON (measured +3.6% unfreeze: 469.2 -> 486.3 scenes/s,
+    BASELINE.md round 4): every BN consumer casts to bf16 anyway under
+    mixed precision, so the forward only moves that rounding one op
+    earlier. Gate: SCENEVERSE_BN_BF16 (on|off)."""
+    v = os.environ.get("SCENEVERSE_BN_BF16", "on").lower()
+    return jnp.bfloat16 if v in ("1", "on", "true") else default
 
 
 def set_compute_dtype(model: nnx.Module, dtype=jnp.bfloat16) -> int:
@@ -25,10 +52,15 @@ def set_compute_dtype(model: nnx.Module, dtype=jnp.bfloat16) -> int:
     switched.
     """
     n = 0
+    ln_dtype = _ln_output_dtype()
     for _path, module in nnx.iter_graph(model):
         if isinstance(module, _MATMUL_LAYERS):
             module.dtype = dtype
             n += 1
+        elif isinstance(module, nnx.LayerNorm):
+            module.dtype = ln_dtype
+        elif isinstance(module, nnx.BatchNorm):
+            module.dtype = _bn_output_dtype()
         elif isinstance(module, _NORM_LAYERS):
             module.dtype = jnp.float32
     return n

@@ -111,3 +111,24 @@ def test_multiview_gate_raises(tmp_path):
     })
     with pytest.raises(NotImplementedError, match="multiview"):
         DATASET_REGISTRY.get("ScanNetSpatialRefer")(cfg, "train")
+
+
+def test_configure_default_prng(monkeypatch):
+    """utils/prng.configure_default_prng: env override wins; default is
+    threefry off-TPU (bit-stable CPU test draws) and rbg on TPU."""
+    import jax
+
+    from sceneverse_tpu.utils.prng import configure_default_prng
+
+    orig = jax.config.jax_default_prng_impl
+    try:
+        monkeypatch.setenv("SCENEVERSE_PRNG_IMPL", "rbg")
+        assert configure_default_prng() == "rbg"
+        k = jax.random.key(0)
+        assert "rbg" in str(jax.random.key_impl(k))
+        monkeypatch.delenv("SCENEVERSE_PRNG_IMPL")
+        impl = configure_default_prng()
+        want = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+        assert impl == want
+    finally:
+        jax.config.update("jax_default_prng_impl", orig)

@@ -232,3 +232,43 @@ def test_fused_mha_gps_shapes_bwd():
     for g, wg in zip(grads, wgrads):
         np.testing.assert_allclose(np.asarray(g), np.asarray(wg),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_mha_block_batch_bit_identical(monkeypatch):
+    """SCENEVERSE_MHA_BLOCK_B > 1 packs several batch elements per grid step
+    (mha.py _block_batch); per-element math and dropout-seed derivation
+    (b = pid*bob + bi = global batch index) are unchanged, so outputs and
+    grads must match bob=1 to reduction-reassociation tolerance (a few ulp
+    — interpret mode compiles each bob variant as a different XLA program,
+    so f32 accumulation orders differ) — with the cond gate and with
+    dropout active (same masks: seed derivation is by GLOBAL batch
+    index)."""
+    B, H, L, dh = 4, 3, 11, 8
+    q, k, v = (_rand(B, L, H * dh) for _ in range(3))
+    sw = _rand(B, H, L, 6)
+    locs = _rand(B, L, L, 5)
+    pad = jnp.asarray(rng.rand(B, L) > 0.6).at[:, 0].set(False)
+    w = _rand(B, L, H * dh)
+    seed = jnp.asarray([5], jnp.int32)
+    scale = 1.0 / math.sqrt(dh)
+
+    def run():
+        def loss(q, k, v, sw):
+            o = fused_mha(q, k, v, H, key_padding_mask=pad, gate_sw=sw,
+                          locs=locs, dropout_rate=0.2, seed=seed,
+                          scale=scale, interpret=True)
+            return jnp.sum(o * w)
+
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+            q, k, v, sw)
+        return val, grads
+
+    monkeypatch.delenv("SCENEVERSE_MHA_BLOCK_B", raising=False)
+    v1, g1 = run()
+    for bob in ("2", "4", "3"):  # 3: B % 3 != 0 -> falls back to 2
+        monkeypatch.setenv("SCENEVERSE_MHA_BLOCK_B", bob)
+        v2, g2 = run()
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=2e-6)

@@ -442,3 +442,59 @@ def test_lm_max_predictions_perscene_3d_labels():
     # first gathered slot is the masked position's label, rest are -1 pads
     np.testing.assert_array_equal(got[:, 0], labels[:, :, 2].reshape(-1))
     assert (got[:, 1:] == -1).all()
+
+
+def test_ln_bf16_output_knob(monkeypatch):
+    """SCENEVERSE_LN_BF16=on casts LayerNorm outputs (NOT their f32
+    mean/var stats — flax _compute_stats always promotes to f32) to bf16
+    under enable_mixed_precision; model outputs stay close to the f32-LN
+    mixed-precision baseline."""
+    from sceneverse_tpu.utils.precision import enable_mixed_precision
+
+    def run(mode):
+        monkeypatch.setenv("SCENEVERSE_LN_BF16", mode)
+        cfg = tiny_gps_cfg()
+        model = build_model(cfg, rngs=nnx.Rngs(0))
+        model.eval()
+        enable_mixed_precision(model)
+        ln_dtypes = {m.dtype for _, m in nnx.iter_graph(model)
+                     if isinstance(m, nnx.LayerNorm)}
+        want = jnp.bfloat16 if mode == "on" else jnp.float32
+        assert ln_dtypes == {want}
+        return model(gps_batch())
+
+    off = run("off")
+    on = run("on")
+    for k in ("og3d_logits", "txt_lm_cls_logits"):
+        a, b = np.asarray(off[k], np.float32), np.asarray(on[k], np.float32)
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(a, b, rtol=0.1, atol=0.15)
+
+
+def test_bn_bf16_output_knob(monkeypatch):
+    """SCENEVERSE_BN_BF16=on casts live BatchNorm outputs to bf16 (stats
+    stay f32) in the trainable-vision configuration; running stats still
+    update in f32 and train-mode outputs stay close."""
+    from sceneverse_tpu.utils.precision import enable_mixed_precision
+
+    def run(mode):
+        monkeypatch.setenv("SCENEVERSE_BN_BF16", mode)
+        cfg = tiny_gps_cfg(freeze=False)
+        model = build_model(cfg, rngs=nnx.Rngs(0))
+        model.train()
+        enable_mixed_precision(model)
+        bn = [m for _, m in nnx.iter_graph(model)
+              if isinstance(m, nnx.BatchNorm)]
+        assert bn
+        want = jnp.bfloat16 if mode == "on" else jnp.float32
+        assert {m.dtype for m in bn} == {want}
+        out = model(gps_batch())
+        assert all(m.mean.value.dtype == jnp.float32 for m in bn)
+        return out
+
+    off = run("off")
+    on = run("on")
+    a = np.asarray(off["og3d_logits"], np.float32)
+    b = np.asarray(on["og3d_logits"], np.float32)
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=0.15, atol=0.25)
