@@ -211,7 +211,11 @@ def _fused_mha_flops(train_step, state, batch):
     try:
         import jax
 
-        jax.eval_shape(train_step, state, batch)
+        # a FRESH function object: jax's trace cache is keyed on function
+        # identity + abstract args, so eval_shape(train_step, ...) after the
+        # cost-analysis lower() above would silently reuse the cached trace
+        # and never call the recording wrapper (observed: count == 0)
+        jax.eval_shape(lambda s, b: train_step(s, b), state, batch)
     except Exception as e:  # count omitted, bench still valid — but say so
         import sys
 

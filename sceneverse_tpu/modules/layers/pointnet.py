@@ -73,11 +73,39 @@ def _maybe_dp_shard_map(fn, arrays, replicated=()):
     return fn(*arrays, *replicated)
 
 
+def _bn_fold_enabled() -> bool:
+    """Train-mode analytic BN fold (see ConvBNReLU). Default ON; set
+    SCENEVERSE_BN_FOLD=off for the literal conv->BatchNorm->ReLU pipeline
+    (bit-parity with nnx.BatchNorm's own reduction order)."""
+    import os
+
+    return os.environ.get("SCENEVERSE_BN_FOLD", "on").lower() in (
+        "1", "on", "true")
+
+
 class ConvBNReLU(nnx.Module):
     """One SharedMLP layer: 1x1 conv (= matmul on the last dim), BN, ReLU.
 
     Mirrors reference pytorch_utils.py:68-120 ``_ConvBase``: no conv bias when
     BN is on, kaiming-normal kernel init, BN eps 1e-5 / torch momentum 0.1.
+
+    TRAIN-MODE ANALYTIC BN FOLD (TPU-first formulation): because the layer
+    feeding BatchNorm is linear, the batch statistics of the conv OUTPUT are
+    exact functions of the conv INPUT's first two moments:
+
+        mean_h = mean(x) @ W
+        var_h[c] = w_c^T E[x x^T] w_c - mean_h[c]^2   (fast-variance form,
+                                                       same as flax's)
+
+    so train-mode BN folds into per-channel (a, b) applied inside the conv's
+    own elementwise epilogue — relu((x@W)*a + b) — and the separate
+    stats pass + normalize pass over the (B*obj, m, nsample, C) stream (the
+    largest tensors of the trainable-vision step) never happen. E[x x^T] is
+    one (C, C) f32-accumulated MXU dot. Autodiff through (a, b) reproduces
+    the exact BatchNorm backward (gradients flow through the batch stats,
+    as in torch/flax); running statistics update with the same momentum
+    rule; cross-replica stats pmean over ``axis_name`` exactly like flax.
+    Measured: unfreeze bench 486.3 -> see BASELINE.md round 4.
     """
 
     def __init__(self, din: int, dout: int, bn: bool = True,
@@ -86,6 +114,7 @@ class ConvBNReLU(nnx.Module):
             din, dout, use_bias=not bn,
             kernel_init=nnx.initializers.kaiming_normal(), rngs=rngs,
         )
+        self.axis_name = axis_name
         self.bn = (
             nnx.BatchNorm(
                 dout, epsilon=1e-5, momentum=0.9, axis_name=axis_name, rngs=rngs
@@ -94,13 +123,60 @@ class ConvBNReLU(nnx.Module):
             else None
         )
 
+    def _bn_training(self) -> bool:
+        """True when BN would use batch statistics (train mode)."""
+        ura = self.bn.use_running_average
+        return ura is not None and not ura
+
     def __call__(self, x: Array) -> Array:
+        if (self.bn is not None and self._bn_training()
+                and _bn_fold_enabled()):
+            return self._folded(x)
         x = self.conv(x)
         if self.bn is not None:
             # nnx.BatchNorm reduces over every non-feature axis, i.e. over
             # (batch, centers, samples) per channel — same as BatchNorm2d.
             x = self.bn(x)
         return jax.nn.relu(x)
+
+    def _folded(self, x: Array) -> Array:
+        bn = self.bn
+        C = x.shape[-1]
+        xr = x.reshape(-1, C)
+        # input moments, f32-accumulated (converts fuse into the reduces —
+        # the bf16 stream is read once, no f32 copy materializes)
+        mu_in = jnp.mean(xr, axis=0, dtype=jnp.float32)  # (C,)
+        gram = jax.lax.dot_general(  # E[x x^T] (C, C) f32
+            xr, xr, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) / xr.shape[0]
+        if self.axis_name is not None:
+            mu_in = jax.lax.pmean(mu_in, self.axis_name)
+            gram = jax.lax.pmean(gram, self.axis_name)
+        w = self.conv.kernel.value.astype(jnp.float32)  # (C, H)
+        mean_h = mu_in @ w  # (H,)
+        # var[c] = w_c^T gram w_c - mean_h[c]^2, clipped like flax's
+        # fast-variance path
+        var_h = jnp.maximum(
+            jnp.einsum("ch,cd,dh->h", w, gram, w,
+                       precision=jax.lax.Precision.HIGHEST)
+            - mean_h * mean_h, 0.0)
+        # running-stats update: identical rule to nnx.BatchNorm.__call__
+        sg = jax.lax.stop_gradient
+        bn.mean.value = sg(bn.momentum * bn.mean.value
+                           + (1 - bn.momentum) * mean_h)
+        bn.var.value = sg(bn.momentum * bn.var.value
+                          + (1 - bn.momentum) * var_h)
+        a = jax.lax.rsqrt(var_h + bn.epsilon)  # grads DO flow (torch/flax)
+        if bn.scale is not None:
+            a = a * bn.scale.value.astype(jnp.float32)
+        b = -mean_h * a
+        if bn.bias is not None:
+            b = b + bn.bias.value.astype(jnp.float32)
+        h = self.conv(x)  # compute-dtype matmul, epilogue fuses
+        out_dtype = bn.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        return jax.nn.relu(h * a + b).astype(out_dtype)
 
 
 class SharedMLP(nnx.Module):

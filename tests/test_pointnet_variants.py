@@ -153,3 +153,76 @@ def test_sample_uniformly_refills_pad_slots():
                 j = int(dists.argmin())
                 assert dists[j] < 1e-9
                 assert j in uniq
+
+
+def test_bn_fold_matches_literal_batchnorm(monkeypatch):
+    """ConvBNReLU's train-mode analytic BN fold (pointnet.py _folded):
+    outputs, input/param grads, and running-stat updates match the literal
+    conv -> nnx.BatchNorm -> relu pipeline in f32 (the fold computes the
+    SAME fast-variance statistics from the conv input's mean/gram instead
+    of from the materialized conv output)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    from sceneverse_tpu.modules.layers.pointnet import ConvBNReLU
+
+    def run(mode):
+        r = np.random.RandomState(3)
+        x = jnp.asarray(r.randn(4, 5, 7, 6).astype(np.float32)) * 2.0 + 0.5
+        monkeypatch.setenv("SCENEVERSE_BN_FOLD", mode)
+        layer = ConvBNReLU(6, 16, bn=True, rngs=nnx.Rngs(0))
+        layer.train()
+        # non-trivial BN affine so dgamma/dbeta and the fold interact
+        layer.bn.scale.value = jnp.asarray(
+            r.randn(16).astype(np.float32) * 0.5 + 1.0)
+        layer.bn.bias.value = jnp.asarray(np.linspace(-1, 1, 16,
+                                                      dtype=np.float32))
+        w = jnp.asarray(r.randn(4, 5, 7, 16).astype(np.float32))
+
+        def loss(layer, x):
+            return jnp.sum(layer(x) * w)
+
+        (val, out), grads = nnx.value_and_grad(
+            lambda m, x: (loss(m, x), m(x)), has_aux=True, argnums=(0, 1)
+        )(layer, x)
+        return val, out, grads, layer.bn.mean.value, layer.bn.var.value
+
+    v_f, o_f, g_f, m_f, var_f = run("on")
+    v_p, o_p, g_p, m_p, var_p = run("off")
+    np.testing.assert_allclose(float(v_f), float(v_p), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_p),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_p),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_f), np.asarray(var_p),
+                               rtol=1e-4, atol=1e-6)
+    flat_f = jax.tree_util.tree_leaves(g_f)
+    flat_p = jax.tree_util.tree_leaves(g_p)
+    assert len(flat_f) == len(flat_p)
+    for a, b in zip(flat_f, flat_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_bn_fold_eval_mode_uses_running_stats(monkeypatch):
+    """In eval mode the fold is bypassed: running statistics are used and
+    not updated, identically with the knob on or off."""
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    from sceneverse_tpu.modules.layers.pointnet import ConvBNReLU
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(3, 4, 6).astype(np.float32))
+    outs = []
+    for mode in ("on", "off"):
+        monkeypatch.setenv("SCENEVERSE_BN_FOLD", mode)
+        layer = ConvBNReLU(6, 8, bn=True, rngs=nnx.Rngs(0))
+        layer.eval()
+        m0 = np.asarray(layer.bn.mean.value).copy()
+        outs.append(np.asarray(layer(x)))
+        np.testing.assert_array_equal(np.asarray(layer.bn.mean.value), m0)
+    np.testing.assert_array_equal(outs[0], outs[1])
