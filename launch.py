@@ -85,14 +85,20 @@ class SubmititLauncher:
 
     def __init__(self, args):
         self.args = args
+        # a user-pinned coordinator is honored verbatim; an auto-derived one
+        # must be RE-derived on every __call__ — after a SLURM preemption the
+        # requeued job can land on different nodes, and the first
+        # allocation's hostname would point jax.distributed at a dead host
+        self._user_coordinator = args.coordinator
 
     def __call__(self):
         import submitit
 
         env = submitit.JobEnvironment()
         args = self.args
-        if args.coordinator is None:
-            args.coordinator = f"{env.hostnames[0]}:{args.port}"
+        args.coordinator = (self._user_coordinator
+                            if self._user_coordinator is not None
+                            else f"{env.hostnames[0]}:{args.port}")
         args.num_processes = env.num_tasks
         args.process_id = env.global_rank
         return spmd_launch(args)
@@ -100,10 +106,14 @@ class SubmititLauncher:
     def checkpoint(self):
         """Requeue on timeout/preemption — the resilience the reference gets
         from slurm_max_num_timeout=30 + signal_delay (launch_utils.py:60,72);
-        the re-run resumes from the snapshotted config (run.py resume flow)."""
+        the re-run resumes from the snapshotted config (run.py resume flow).
+        The requeued payload drops any auto-derived coordinator so the new
+        allocation derives its own (see __init__)."""
         import submitit
 
-        return submitit.helpers.DelayedSubmission(SubmititLauncher(self.args))
+        args = self.args
+        args.coordinator = self._user_coordinator
+        return submitit.helpers.DelayedSubmission(SubmititLauncher(args))
 
 
 def submitit_launch(args):

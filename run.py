@@ -82,7 +82,10 @@ def main(argv=None):
     from sceneverse_tpu.trainer import build_trainer
 
     trainer = build_trainer(cfg)
-    return trainer.run()
+    try:
+        return trainer.run()
+    finally:
+        trainer.close()  # clear the process-global ambient mesh
 
 
 if __name__ == "__main__":

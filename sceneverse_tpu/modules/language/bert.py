@@ -92,9 +92,13 @@ class BertSelfAttention(nnx.Module):
         # mask row directly; prob-dropout runs in-kernel (same distribution,
         # different stream than nnx.Dropout). q/k/v ride PACKED (B, L, H*dh)
         # — no head-split transposes on this path.
-        from sceneverse_tpu.ops.pallas.mha import fused_mha, fused_mha_enabled
+        from sceneverse_tpu.ops.pallas.mha import (
+            fused_mha,
+            fused_mha_enabled,
+            fused_mha_supported,
+        )
 
-        if fused_mha_enabled():
+        if fused_mha_enabled() and fused_mha_supported(D, H):
             from sceneverse_tpu.modules.layers.transformers import _dropout_seed
 
             rate = (0.0 if self.dropout.deterministic else self.dropout.rate)

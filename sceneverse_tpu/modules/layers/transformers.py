@@ -122,9 +122,14 @@ class MultiHeadAttention(nnx.Module):
         # distribution, different stream than nnx.Dropout's threefry).
         # q/k/v ride PACKED (B, T, H*dh) — the kernel slices heads off lane
         # blocks, so no (B, H, T, dh) transpose copies exist on this path.
-        from sceneverse_tpu.ops.pallas.mha import fused_mha, fused_mha_enabled
+        from sceneverse_tpu.ops.pallas.mha import (
+            fused_mha,
+            fused_mha_enabled,
+            fused_mha_supported,
+        )
 
-        if attn_mask is None and fused_mha_enabled():
+        if (attn_mask is None and fused_mha_enabled()
+                and fused_mha_supported(q.shape[-1], self.n_head)):
             rate = 0.0 if dropout_off else self.attn_dropout.rate
             seed = _dropout_seed(self.attn_dropout) if rate > 0.0 else None
             out = fused_mha(q, k, v, self.n_head,
@@ -341,10 +346,15 @@ class MultiHeadAttentionSpatial(nnx.Module):
         # the pairwise locations — the (B, H, L, T) gate/score/prob tensors
         # never leave VMEM (ops/pallas/mha.py). q/k/v ride PACKED
         # (B, T, H*dh): no head-split transposes on this path.
-        from sceneverse_tpu.ops.pallas.mha import fused_mha, fused_mha_enabled
+        from sceneverse_tpu.ops.pallas.mha import (
+            fused_mha,
+            fused_mha_enabled,
+            fused_mha_supported,
+        )
 
         if (self.spatial_attn_fusion == "cond" and self.spatial_multihead
-                and self.spatial_dim == 5 and fused_mha_enabled()):
+                and self.spatial_dim == 5 and fused_mha_enabled()
+                and fused_mha_supported(q2.shape[-1], H)):
             sw = self.lang_cond_fc(residual)
             sw = sw.reshape(B, L, H, self.spatial_dim + 1).transpose(0, 2, 1, 3)
             out = fused_mha(q2, k2, v2, H, key_padding_mask=key_padding_mask,

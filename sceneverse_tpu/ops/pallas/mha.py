@@ -94,6 +94,19 @@ def fused_mha_enabled() -> bool:
     return False
 
 
+def fused_mha_supported(d_model: int, n_heads: int) -> bool:
+    """True when `_block_geometry` can pack this head layout (callers pair
+    this with `fused_mha_enabled()` and fall back to the XLA attention path
+    otherwise — e.g. dh=48 with D>128 has no 128-aligned packing)."""
+    if d_model % n_heads != 0:
+        return False
+    try:
+        _block_geometry(d_model, d_model // n_heads)
+        return True
+    except ValueError:
+        return False
+
+
 def _block_geometry(D: int, dh: int):
     """(block_width, heads_per_block): pack heads into lane blocks whose
     offsets stay 128-aligned (Mosaic lane-store constraint)."""

@@ -99,7 +99,12 @@ def group_points(points: Array, idx: Array) -> Array:
 
     Args:
       points: (B, N, C).
-      idx: (B, M, S) int32.
+      idx: (B, M, S) int32. PRECONDITION: every index must be in [0, N).
+        The small-N one-hot path below returns silent ZEROS for an
+        out-of-range index, while the take_along_axis path CLAMPS to the
+        nearest valid row — callers with clamped/sentinel index schemes
+        must mask themselves. ball_query/FPS always satisfy this (their
+        outputs index their own inputs).
 
     Returns:
       (B, M, S, C).

@@ -181,9 +181,28 @@ _ACTIVE: Optional[Mesh] = None
 
 
 def set_active_mesh(mesh: Optional[Mesh]) -> None:
-    """Register the mesh kernel call sites should shard_map over (trainer)."""
+    """Register the mesh kernel call sites should shard_map over (trainer).
+    Pass ``None`` to clear — a trainer/eval built later in the same process
+    must not shard_map over a stale mesh (trainer __del__/close clears)."""
     global _ACTIVE
     _ACTIVE = mesh
+
+
+class active_mesh:
+    """Context manager form of set_active_mesh: registers on enter,
+    restores the previous registration on exit."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+
+    def __enter__(self):
+        self._prev = _ACTIVE
+        set_active_mesh(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        set_active_mesh(self._prev)
+        return False
 
 
 def ambient_dp_mesh() -> Optional[Mesh]:
@@ -192,10 +211,16 @@ def ambient_dp_mesh() -> Optional[Mesh]:
     Checks the physical `with mesh:` context first (jax keeps it on
     thread_resources; there is no public accessor for the *physical* context
     in jax 0.9 — get_abstract_mesh only sees `use_mesh`), then the
-    trainer-registered active mesh."""
-    from jax._src import mesh as mesh_lib
+    trainer-registered active mesh. The private thread_resources read is
+    guarded: if a jax upgrade moves it, discovery degrades to the registered
+    mesh instead of crashing."""
+    m = None
+    try:
+        from jax._src import mesh as mesh_lib
 
-    m = mesh_lib.thread_resources.env.physical_mesh
+        m = mesh_lib.thread_resources.env.physical_mesh
+    except Exception:
+        m = None
     if m is None or m.empty:
         m = _ACTIVE
     if m is None or "dp" not in m.axis_names or m.shape["dp"] <= 1:
@@ -203,17 +228,22 @@ def ambient_dp_mesh() -> Optional[Mesh]:
     return m
 
 
-def dp_shard_map(fn, mesh: Mesh, n_sharded: int, n_replicated: int = 0):
+def dp_shard_map(fn, mesh: Mesh, n_sharded: int, n_replicated: int = 0,
+                 out_specs=None):
     """shard_map ``fn`` over the mesh's 'dp' axis: the first ``n_sharded``
-    args are dim-0 sharded, the next ``n_replicated`` replicated; every
-    output is dim-0 sharded. The caller must ensure dim 0 of each sharded
-    arg divides dp."""
+    args are dim-0 sharded, the next ``n_replicated`` replicated; outputs
+    are dim-0 sharded unless ``out_specs`` (a pytree of PartitionSpec
+    matching fn's outputs — P() marks a shard-identical/replicated output,
+    e.g. a psum'd statistic) says otherwise. The caller must ensure dim 0
+    of each sharded arg divides dp."""
     in_specs = (P("dp"),) * n_sharded + (P(),) * n_replicated
     # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
     # annotation, which the vma checker requires; the bodies are pure
-    # per-shard compute (no collectives), so the check adds nothing here
+    # per-shard compute (no collectives beyond explicit psums), so the
+    # check adds nothing here
     return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
-                         out_specs=P("dp"), check_vma=False)
+                         out_specs=P("dp") if out_specs is None
+                         else out_specs, check_vma=False)
 
 
 # Backwards-compatible cached accessor (pre-round-2 API).

@@ -609,10 +609,25 @@ class BaseTrainer:
         for step, row in zip(steps, host):
             self.log(dict(zip(keys, row)), mode="train", step=step)
 
+    def close(self):
+        """Release process-global registrations (the ambient mesh) so a
+        trainer/eval built later in the same process doesn't shard_map over
+        this trainer's mesh (run.py calls this after run())."""
+        from sceneverse_tpu.parallel.mesh import set_active_mesh
+
+        set_active_mesh(None)
+
     # ----------------------------------------------------------- checkpointing
     def _ckpt_state(self):
+        # RngState is EXCLUDED: rbg/threefry key data have different shapes
+        # (utils/prng.py picks the impl per backend), so embedding keys would
+        # make a TPU-written checkpoint unrestorable on CPU or after changing
+        # SCENEVERSE_PRNG_IMPL. Dropout streams re-seed on restore instead —
+        # the same semantics class as the reference's cuRAND streams being
+        # torch-version-dependent.
         return {
-            "model": nnx.to_pure_dict(nnx.state(self.model)),
+            "model": nnx.to_pure_dict(
+                nnx.state(self.model, nnx.Not(nnx.RngState))),
             "opt": nnx.to_pure_dict(nnx.state(self.optimizer)),
             "tracker": self.exp_tracker.state_dict(),
             "global_step": self.global_step,

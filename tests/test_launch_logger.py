@@ -95,6 +95,39 @@ def test_submitit_launch_with_stub(monkeypatch, tmp_path):
     launch.SubmititLauncher(args).checkpoint()
     assert len(resubs) == 1 and isinstance(resubs[0], launch.SubmititLauncher)
 
+    # preemption resilience: after __call__ derived node-a as coordinator,
+    # a requeue that lands on DIFFERENT nodes must re-derive the coordinator
+    # from the new allocation, not point jax.distributed at dead node-a
+    node_args = launch.parse_args([
+        "--mode", "submitit", "--config", "configs/final/debug.yaml",
+        "--nodes", "2",
+    ])
+    payload = launch.SubmititLauncher(node_args)
+    stub.JobEnvironment = lambda: _JobEnv(0)  # first allocation: node-a/b
+    spmd_calls.clear()
+    payload()
+    payload.checkpoint()
+    requeued = resubs[-1]
+    assert requeued.args.coordinator is None  # auto-derived -> dropped
+
+    class _JobEnv2(_JobEnv):
+        hostnames = ["node-x", "node-y"]
+
+    stub.JobEnvironment = lambda: _JobEnv2(1)
+    requeued()
+    assert spmd_calls[-1] == ("node-x:8476", 2, 1)
+
+    # a user-pinned coordinator survives requeue verbatim
+    pinned = launch.parse_args([
+        "--mode", "submitit", "--config", "configs/final/debug.yaml",
+        "--coordinator", "pinned-host:1234",
+    ])
+    p2 = launch.SubmititLauncher(pinned)
+    p2()
+    assert spmd_calls[-1][0] == "pinned-host:1234"
+    p2.checkpoint()
+    assert resubs[-1].args.coordinator == "pinned-host:1234"
+
 
 def test_wandb_logger_branch_with_stub(monkeypatch, tmp_path):
     events = []

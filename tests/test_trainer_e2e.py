@@ -89,6 +89,22 @@ def test_checkpoint_save_resume(tmp_path):
     trainer2 = build_trainer(cfg2)
     # resumed tracker state
     assert trainer2.exp_tracker.epoch == 1
+
+    # PRNG-impl portability: RngState must NOT be embedded in checkpoints —
+    # rbg (TPU default) and threefry key data have different shapes, so a
+    # TPU-written checkpoint with keys inside could not restore on CPU or
+    # after changing SCENEVERSE_PRNG_IMPL (streams re-seed on restore).
+    def _paths(d, prefix=()):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                yield from _paths(v, prefix + (str(k),))
+            else:
+                yield "/".join(prefix + (str(k),))
+
+    rng_paths = [p for p in _paths(trainer._ckpt_state()["model"])
+                 if "rng" in p.lower() or "/key" in p.lower()]
+    assert rng_paths == [], rng_paths
+
     # resumed params match
     p1 = nnx.to_pure_dict(nnx.state(trainer.model, nnx.Param))
     p2 = nnx.to_pure_dict(nnx.state(trainer2.model, nnx.Param))
