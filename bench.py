@@ -3,8 +3,17 @@
 Measures the fused train step (forward + loss + backward + AdamW update) of
 the full-size GPS model — 768-d hidden, BERT-4L text (50 tokens), PointNet++
 (80 objects x 1024 points) + 4L spatial encoder + 4L unified encoder +
-OV pretrain head (30522 + 607 vocab) — the exact shape budget of
-reference configs/final/all_pretrain.yaml:35-46,204-245.
+OV pretrain head (30522 + 607 vocab) — the object/text shape budget of
+reference configs/final/all_pretrain.yaml:35-44,204-245.
+
+Scene captions: the reference tokenizer pads every scene caption to
+``max_scene_cap_len: 300`` (all_pretrain.yaml:46, dataset_wrapper.py:48-54),
+so the production caption tensor is (B, 300) regardless of real caption
+lengths. The HEADLINE number here runs cap_len=300 — the production shape.
+A second measurement at cap_len=64 (the round ≤4 headline shape, and the
+shape a length-bucketing loader reaches when captions tokenize short) is
+reported as ``scenes_per_sec_cap64``. SCENEVERSE_BENCH_CAP_LEN overrides the
+headline cap length; SCENEVERSE_BENCH_CAP64=0 skips the secondary run.
 
 Baseline note: the reference publishes NO throughput numbers
 (BASELINE.md). A100_SCENES_PER_SEC below is our engineering estimate of the
@@ -28,17 +37,23 @@ os.environ.setdefault("SCENEVERSE_PALLAS_FAST", "1")
 
 A100_SCENES_PER_SEC = 128.0  # estimated reference throughput per A100 at batch 64
 
-# Per-chip batch 256: the measured v5e throughput optimum after the
-# one-hot-grouping + packed-MHA HBM savings of round 4 (192 -> 1189.6,
+# production caption shape: padded to max_scene_cap_len 300 (reference
+# all_pretrain.yaml:46); see module docstring
+CAP_LEN = int(os.environ.get("SCENEVERSE_BENCH_CAP_LEN", 300))
+# Per-chip batch: 256 is the measured v5e cap-64 throughput optimum after
+# the one-hot-grouping + packed-MHA HBM savings of round 4 (192 -> 1189.6,
 # 224 -> 1192.6, 256 -> 1218.2, 320 -> 1198.8 scenes/s, 384 OOM-predicted
-# at 14.6 GiB; with MHA block-batch 4 on, 256 -> 1234.2). Batch 128
-# (= the reference's exact global 512 at dp=4, all_pretrain.yaml:8)
-# remains one env var away.
-BATCH = int(os.environ.get("SCENEVERSE_BENCH_BATCH", 256))
+# at 14.6 GiB; with MHA block-batch 4 on, 256 -> 1234.2). At cap 300 the
+# caption tower's activations push b256 to 14.75 GiB (round-5 memcheck) —
+# too close to the 16 GiB chip — so long-caption headlines default to 128
+# (= the reference's exact global 512 at dp=4, all_pretrain.yaml:8).
+BATCH = int(os.environ.get("SCENEVERSE_BENCH_BATCH",
+                           128 if CAP_LEN >= 192 else 256))
 NUM_OBJ = 80
 NUM_POINTS = 1024
 SEQ_LEN = 50
-CAP_LEN = 64
+CAP64 = os.environ.get("SCENEVERSE_BENCH_CAP64", "1").lower() in (
+    "1", "on", "true")
 WARMUP = 1
 SCAN_STEPS = 10  # steps chained inside ONE executable (one dispatch/fetch)
 BLOCKS = 3
@@ -112,81 +127,136 @@ def main(bf16: bool = True):
         state, totals = jax.lax.scan(body, state, None, length=SCAN_STEPS)
         return totals[-1], state
 
-    batch = _gps_batch(BATCH, NUM_OBJ, NUM_POINTS, SEQ_LEN, cap_len=CAP_LEN)
-
     # XLA cost analysis: total FLOPs of the K-step executable -> MFU
     # denominator (v5e bf16 peak 197 TFLOP/s). Pallas custom kernels are
     # OPAQUE to the analysis, and the frozen vision tower (the model's FLOP
     # bulk) runs entirely in them, so the XLA count alone badly undercounts;
     # _pallas_vision_flops adds the analytic MAC count of the fused SA
     # kernels (forward-only — the tower is frozen, no backward).
+    #
+    # OOM guard (DEFAULT ON — a device OOM wedges the axon client
+    # permanently, and the driver runs this unattended): before executing,
+    # check the compiled executable's HBM demand against the chip (v5e:
+    # 16 GiB, ~0.8 GiB reserved) and HALVE the batch until it fits.
+    # SCENEVERSE_BENCH_MEMCHECK=0 disables; SCENEVERSE_BENCH_HBM_LIMIT
+    # overrides the limit.
+    memcheck = os.environ.get("SCENEVERSE_BENCH_MEMCHECK", "1").lower() \
+        not in ("0", "off", "false")
+    # conservative: the static analysis does not see the axon runtime's own
+    # buffers / lazily-freed prior arrays — a 14.75 GiB prediction OOM'd a
+    # 16 GiB chip at runtime (round 5)
+    limit = float(os.environ.get("SCENEVERSE_BENCH_HBM_LIMIT", 13.5e9))
+    no_mfu = bool(os.environ.get("SCENEVERSE_BENCH_NO_MFU"))
+    batch_size = BATCH
     step_flops = 0.0
-    try:
-        compiled = train_k.lower(state, batch).compile()
-        # FLOP count from a SINGLE unscanned step: XLA's cost analysis
-        # counts a while-loop body once regardless of trip count, so
-        # analyzing train_k and dividing by SCAN_STEPS under-reported the
-        # numerator ~5x (round 4; the analytic tower math says ~30
-        # GFLOP/scene on the XLA side at GPS shapes, the scanned count gave
-        # 5.3). Timing still uses the scanned executable.
-        cost = jax.jit(train_step).lower(state, batch).compile(
-        ).cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        step_flops = float(cost.get("flops", 0.0))
-        # OOM guard (opt-in): a device OOM wedges the axon client
-        # permanently, so when SCENEVERSE_BENCH_MEMCHECK is set, bail out
-        # BEFORE executing if the compiled executable's HBM demand exceeds
-        # the chip (v5e: 16 GiB, ~0.8 GiB reserved)
-        if os.environ.get("SCENEVERSE_BENCH_MEMCHECK"):
-            mem = compiled.memory_analysis()
-            need = (mem.argument_size_in_bytes + mem.temp_size_in_bytes
-                    + mem.output_size_in_bytes)
-            limit = float(os.environ.get("SCENEVERSE_BENCH_HBM_LIMIT",
-                                         15.2e9))
-            if need > limit:
-                print(json.dumps({
-                    "metric": "gps_pretrain_scenes_per_sec_per_chip",
-                    "value": 0.0, "unit": "scenes/s", "vs_baseline": 0.0,
-                    "oom_predicted": True, "batch": BATCH,
-                    "hbm_needed_gib": round(need / 2**30, 2)}))
-                return
-    except Exception:
-        pass
+    while True:
+        batch = _gps_batch(batch_size, NUM_OBJ, NUM_POINTS, SEQ_LEN,
+                           cap_len=CAP_LEN)
+        try:
+            compiled = train_k.lower(state, batch).compile()
+            if not no_mfu:
+                # FLOP count from a SINGLE unscanned step: XLA's cost
+                # analysis counts a while-loop body once regardless of trip
+                # count, so analyzing train_k and dividing by SCAN_STEPS
+                # under-reported the numerator ~5x (round 4). Timing still
+                # uses the scanned executable.
+                cost = jax.jit(train_step).lower(state, batch).compile(
+                ).cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                step_flops = float(cost.get("flops", 0.0))
+            if memcheck:
+                mem = compiled.memory_analysis()
+                need = (mem.argument_size_in_bytes + mem.temp_size_in_bytes
+                        + mem.output_size_in_bytes)
+                if need > limit:
+                    # drop the too-big device batch BEFORE building the
+                    # smaller one — lazily-freed arrays contributed to the
+                    # round-5 runtime OOM that the static check passed
+                    del batch, compiled
+                    if batch_size > 16:
+                        import sys
+
+                        print(f"[bench] batch {batch_size} needs "
+                              f"{need / 2**30:.2f} GiB > limit; halving",
+                              file=sys.stderr)
+                        batch_size //= 2
+                        continue
+                    print(json.dumps({
+                        "metric": "gps_pretrain_scenes_per_sec_per_chip",
+                        "value": 0.0, "unit": "scenes/s", "vs_baseline": 0.0,
+                        "oom_predicted": True, "batch": batch_size,
+                        "hbm_needed_gib": round(need / 2**30, 2)}))
+                    return
+        except Exception:
+            pass
+        break
     # the frozen-tower Pallas kernels are opaque to XLA's FLOP count; in the
     # unfreeze ablation the tower runs (and is counted) as plain XLA ops
     pallas_flops = (0.0 if unfreeze
-                    else _pallas_vision_flops(BATCH, NUM_OBJ, NUM_POINTS))
+                    else _pallas_vision_flops(batch_size, NUM_OBJ,
+                                              NUM_POINTS))
     pallas_flops += _fused_mha_flops(train_step, state, batch)
 
-    for _ in range(WARMUP):
+    def measure(state, batch, n_scenes):
+        """Best-of-N scan blocks, one scalar fetch each: the fastest block is
+        the chip's steady-state capability."""
         total, state = train_k(state, batch)
-    # fetching the scalar forces full completion (plain block_until_ready has
-    # under-measured through the remote-execution proxy)
-    float(total)
-
-    # best-of-N blocks, one fetch each: the fastest block is the chip's
-    # steady-state capability
-    dts = []
-    for _ in range(BLOCKS):
-        t0 = time.perf_counter()
-        total, state = train_k(state, batch)
+        for _ in range(WARMUP - 1):
+            total, state = train_k(state, batch)
+        # fetching the scalar forces full completion (plain block_until_ready
+        # has under-measured through the remote-execution proxy)
         float(total)
-        dts.append(time.perf_counter() - t0)
+        dts = []
+        for _ in range(BLOCKS):
+            t0 = time.perf_counter()
+            total, state = train_k(state, batch)
+            float(total)
+            dts.append(time.perf_counter() - t0)
+        return n_scenes * SCAN_STEPS / min(dts), min(dts), state
 
-    scenes_per_sec = BATCH * SCAN_STEPS / min(dts)
+    scenes_per_sec, dt, state = measure(state, batch, batch_size)
     out = {
         "metric": "gps_pretrain_scenes_per_sec_per_chip",
         "value": round(scenes_per_sec, 2),
         "unit": "scenes/s",
         "vs_baseline": round(scenes_per_sec / A100_SCENES_PER_SEC, 3),
+        "cap_len": CAP_LEN,
+        "batch": batch_size,
     }
     if step_flops:
         V5E_BF16_PEAK = 197e12
-        total = step_flops + pallas_flops
-        out["mfu"] = round(total / min(dts) * SCAN_STEPS / V5E_BF16_PEAK, 4)
-        out["gflops_per_scene"] = round(total / BATCH / 1e9, 1)
-        out["gflops_per_scene_xla"] = round(step_flops / BATCH / 1e9, 1)
+        total_flops = step_flops + pallas_flops
+        out["mfu"] = round(total_flops / dt * SCAN_STEPS / V5E_BF16_PEAK, 4)
+        out["gflops_per_scene"] = round(total_flops / batch_size / 1e9, 1)
+        out["gflops_per_scene_xla"] = round(step_flops / batch_size / 1e9, 1)
+    if CAP64 and CAP_LEN != 64:
+        # secondary shape: cap-64 (round <=4 headline; the shape a
+        # length-bucketing loader reaches on short-caption data) at ITS OWN
+        # batch optimum (the round-4 default 256) when it fits
+        b64 = int(os.environ.get("SCENEVERSE_BENCH_BATCH", 256))
+        while b64 >= 16:
+            batch64 = _gps_batch(b64, NUM_OBJ, NUM_POINTS, SEQ_LEN,
+                                 cap_len=64)
+            if memcheck:
+                try:
+                    mem = train_k.lower(state, batch64).compile(
+                    ).memory_analysis()
+                    need = (mem.argument_size_in_bytes
+                            + mem.temp_size_in_bytes
+                            + mem.output_size_in_bytes)
+                    # b256-cap64 is the round-4 shipped default, proven to
+                    # execute — allow it the measured headroom
+                    if need > max(limit, 14.8e9):
+                        del batch64
+                        b64 //= 2
+                        continue
+                except Exception:
+                    pass
+            sps, _, state = measure(state, batch64, b64)
+            out["scenes_per_sec_cap64"] = round(sps, 2)
+            out["batch_cap64"] = b64
+            break
     print(json.dumps(out))
 
 
