@@ -83,6 +83,17 @@ def _bn_fold_enabled() -> bool:
         "1", "on", "true")
 
 
+def _sa_train_fused_enabled() -> bool:
+    """Fused trainable-SA kernel (ops/pallas/sa_train.py: 3x conv+train-BN+
+    ReLU + max-pool with the activation chain in VMEM). Default ON where the
+    Pallas path runs; SCENEVERSE_SA_TRAIN_FUSED=off falls back to the XLA
+    fold pipeline (same math — the fused path exists for HBM traffic)."""
+    import os
+
+    return os.environ.get("SCENEVERSE_SA_TRAIN_FUSED", "on").lower() in (
+        "1", "on", "true")
+
+
 class ConvBNReLU(nnx.Module):
     """One SharedMLP layer: 1x1 conv (= matmul on the last dim), BN, ReLU.
 
@@ -338,6 +349,30 @@ class PointnetSAModule(nnx.Module):
                 if features is not None and self.use_xyz
                 else (features if features is not None else xyz)
             )[:, None]  # (B, 1, N, 3+C)
+
+        # TRAINABLE fused path (round 5): train-mode BN + full gradients with
+        # the h1/h2/h3 activation chain kept in VMEM (ops/pallas/sa_train.py)
+        # — the unfreeze step's dominant HBM streams. Falls back to the XLA
+        # fold pipeline below when gated off or when the MLP shape/BN mode
+        # doesn't match.
+        if (self.use_pallas and _sa_train_fused_enabled()
+                and _bn_fold_enabled() and len(self.mlp.layers) == 3
+                and all(l.bn is not None and l._bn_training()
+                        and l.bn.scale is not None and l.bn.bias is not None
+                        for l in self.mlp.layers)):
+            from sceneverse_tpu.ops.pallas import sa_train
+            from sceneverse_tpu.parallel.mesh import ambient_dp_mesh
+
+            mesh = ambient_dp_mesh()
+            if mesh is not None and grouped.shape[0] % mesh.shape["dp"] != 0:
+                mesh = None
+            gG, gm, gns, _gc = grouped.shape
+            if sa_train.supported(gG, gm, gns,
+                                  mesh.shape["dp"] if mesh else 1):
+                pooled = sa_train.fused_trainable_sa(
+                    grouped, self.mlp, interpret=_pallas_interpret(),
+                    mesh=mesh)
+                return new_xyz, pooled
 
         h = self.mlp(grouped)  # (B, M, S, C')
         new_features = jnp.max(h, axis=2)  # max over samples (B, M, C')
