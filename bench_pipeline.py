@@ -243,6 +243,56 @@ def bench_trainer_loop(cfg, device_batches, steps):
     return trainer, rate
 
 
+class BoundedLoader:
+    """Bound any host-batch loader to ``steps`` batches per epoch."""
+
+    def __init__(self, loader, steps):
+        self.loader, self.steps = loader, steps
+
+    def __len__(self):
+        return self.steps
+
+    def __iter__(self):
+        it = iter(self.loader)
+        for _ in range(self.steps):
+            try:
+                yield next(it)
+            except StopIteration:
+                it = iter(self.loader)
+                yield next(it)
+
+
+def bench_trainer_feed(cfg, steps, n_threads=1):
+    """END-TO-END train throughput with the loader IN the loop: materialized
+    batch assembly -> packed h2d -> fused train step, per epoch (VERDICT r4
+    item 5 — the device-resident `bench_trainer_loop` number assumes a free
+    host feed; this one pays for it). jax's async dispatch overlaps the next
+    batch's host assembly with the in-flight device step, so on a host whose
+    aggregate feed rate exceeds the chip's step rate this converges to the
+    device-resident number."""
+    from sceneverse_tpu.config import Config
+    from sceneverse_tpu.data.materialized import (
+        MaterializedBatchLoader, ensure_materialized)
+    from sceneverse_tpu.trainer import build_trainer
+
+    cfg = Config(cfg.to_dict())
+    cfg.data.args["materialized"] = "fast"
+    store = ensure_materialized(cfg, "ScanNetSpatialRefer", "train")
+    loader = MaterializedBatchLoader(cfg, [store], n_threads=n_threads)
+    trainer = build_trainer(cfg)
+    trainer.data_loaders["train"] = BoundedLoader(loader, steps)
+    trainer.total_steps = steps * 3
+    trainer.train_step(0)                      # compile + warm epoch
+    t0 = time.perf_counter()
+    trainer.train_step(1)                      # steady state (timed)
+    dt = time.perf_counter() - t0
+    rate = steps * int(cfg.dataloader.batchsize) / dt
+    emit("trainer_feed_scenes_per_sec", rate, steps=steps,
+         threads=n_threads)
+    trainer.close()
+    return rate
+
+
 def bench_eval_loop(cfg, trainer, mesh, steps=12):
     """Eval-mode epoch rate: jit forward + evaluator host update per batch
     (reference trainer/openvocab_trainer.py:55-80 runs this every epoch)."""
@@ -274,6 +324,10 @@ def main():
     ap.add_argument("--workers", type=int, default=0,
                     help="DataLoader workers (default 0: this rig has 1 core)")
     ap.add_argument("--skip-trainer", action="store_true")
+    ap.add_argument("--feed-sweep", action="store_true",
+                    help="n_threads sweep of the materialized feed at "
+                         "GPS-scale points + loader-in-the-loop trainer "
+                         "throughput (VERDICT r4 item 5)")
     args = ap.parse_args()
 
     import sceneverse_tpu.data  # noqa: F401
@@ -288,6 +342,12 @@ def main():
     cfg = bench_cfg(root, exp, num_workers=args.workers)
 
     mesh = mesh_from_cfg(cfg)
+    if args.feed_sweep:
+        for nt in (1, 2, 4):
+            bench_materialized(cfg, steps=16, n_threads=nt)
+        bench_trainer_feed(cfg, steps=args.steps,
+                           n_threads=max(1, args.workers))
+        return
     bench_item_build(cfg)
     bench_materialized(cfg, n_threads=max(1, args.workers))
     batch, _ = bench_collate(cfg)
