@@ -73,16 +73,28 @@ def _dot(x, w):
                            preferred_element_type=jnp.float32)
 
 
-def _chain_fwd(x, params, upto):
-    """h_j for j = 1..upto. x (rows, C) f32/bf16; params[j] = (W, a, b) with
-    W (C_j, H_j), a/b (1, H_j) f32 rows. Returns list of h_j (rows, H_j)
-    f32. Inter-layer inputs round-trip bf16 (matching the XLA path where
-    each conv reads the previous layer's bf16 output)."""
+def _dot_cr(x_cr, w):
+    """Layer-1 dot from the TRANSPOSED (C, rows) input block: contracts the
+    sublane (channel) dim -> (rows, H). The (C, rows) operand layout is the
+    whole point of this file's op boundaries: pallas in/outputs force padded
+    row-major tiling, and a (rows, C) tensor with C = 6 pads its lane dim
+    6 -> 128 (21x memory — a 2.5 GB copy of SA1's grouped tensor in the
+    first on-chip compile); (C, rows) pads only sublanes (6 -> 8)."""
+    return lax.dot_general(x_cr.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                           (((0,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _chain_fwd(x_cr, params, upto):
+    """h_j for j = 1..upto. x_cr (C, rows) f32/bf16; params[j] = (W, a, b)
+    with W (C_j, H_j), a/b (1, H_j) f32 rows. Returns list of h_j
+    (rows, H_j) f32. Inter-layer inputs round-trip bf16 (matching the XLA
+    path where each conv reads the previous layer's bf16 output)."""
     hs = []
-    h = x
+    h = None
     for j in range(upto):
         w, a, b = params[j]
-        u = _dot(h, w)
+        u = _dot_cr(x_cr, w) if j == 0 else _dot(h, w)
         h = jnp.maximum(u * a + b, 0.0)
         hs.append(h)
     return hs
@@ -119,26 +131,33 @@ def _stats_kernel(x_ref, *refs, upto, hdims):
     gram_ref[:, :] += gram
 
 
-def _chain_bwd_block(x, params, dh, upto, dparams_refs, init):
+def _chain_bwd_block(x_cr, params, dh, upto, dparams_refs, init):
     """Backprop dh (cotangent of h_upto) through layers upto..1.
 
-    Recomputes the forward chain; accumulates dW (C,H), da/db rows into
-    dparams_refs[j] = (dw_ref, ds_ref) where ds_ref rows are [da; db];
-    returns dx (rows, C)."""
-    hs = [x] + _chain_fwd(x, params, upto)
+    Recomputes the forward chain from x_cr (C, rows); accumulates dW (C,H),
+    da/db rows into dparams_refs[j] = (dw_ref, ds_ref) where ds_ref rows are
+    [da; db]; returns dx in the TRANSPOSED (C, rows) layout."""
+    hs = _chain_fwd(x_cr, params, upto)
     d = dh
     for j in range(upto - 1, -1, -1):
         w, a, b = params[j]
-        xin = hs[j]
-        u = _dot(xin, w)           # recompute pre-affine
+        first = j == 0
+        u = _dot_cr(x_cr, w) if first else _dot(hs[j - 1], w)
         z = u * a + b
         dz = jnp.where(z > 0.0, d, 0.0)
         da = jnp.sum(dz * u, axis=0, keepdims=True)   # (1, H)
         db = jnp.sum(dz, axis=0, keepdims=True)
         du = dz * a
-        dw = lax.dot_general(                         # (C, H) f32
-            xin.astype(jnp.bfloat16), du.astype(jnp.bfloat16),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        if first:  # dW = x @ du, contracting rows of the (C, rows) input
+            dw = lax.dot_general(
+                x_cr.astype(jnp.bfloat16), du.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            dw = lax.dot_general(                     # (C, H) f32
+                hs[j - 1].astype(jnp.bfloat16), du.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         dw_ref, ds_ref = dparams_refs[j]
 
         @pl.when(init)
@@ -149,9 +168,16 @@ def _chain_bwd_block(x, params, dh, upto, dparams_refs, init):
         dw_ref[:, :] += dw
         ds_ref[0:1, :] += da
         ds_ref[1:2, :] += db
-        d = lax.dot_general(                          # dx = du @ W^T
-            du.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if first:  # dx in (C, rows): W @ du^T
+            d = lax.dot_general(
+                w.astype(jnp.bfloat16), du.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            d = lax.dot_general(                      # dh_{j-1} = du @ W^T
+                du.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
     return d
 
 
@@ -218,8 +244,8 @@ def _pool_bwd_kernel(x_ref, *refs, nsample, hdims):
     dparams_refs = [(refs[i + 1 + 2 * j], refs[i + 2 + 2 * j])
                     for j in range(3)]
 
-    x = x_ref[:, :]
-    rows = x.shape[0]
+    x = x_ref[:, :]  # (C, rows)
+    rows = x.shape[1]
     nc = rows // nsample
     H3 = dpool_ref.shape[1]
     slot = lax.broadcasted_iota(jnp.int32, (nc, nsample, H3), 1)
@@ -238,15 +264,23 @@ def _pool_bwd_kernel(x_ref, *refs, nsample, hdims):
 def _row_block(n_rows: int, row_quant: int, dims):
     """Rows per grid step: a multiple of ``row_quant`` that divides
     ``n_rows``, sized so the forward chain's VMEM residency (x + every h_j
-    at f32, conservatively) stays ~12 MB."""
+    at f32, conservatively) stays ~12 MB. Rows ride the LANE dim of the
+    (C, rows) input blocks, so multi-block grids also need 128-aligned
+    block offsets (Mosaic lane-store rule) — quantize to lcm(quant, 128)
+    unless the whole array is one block."""
     if n_rows % row_quant != 0:
         raise ValueError(f"rows {n_rows} not a multiple of {row_quant} "
                          "(need whole 8-row groups / whole centers)")
-    target = max(row_quant, (12 << 20) // max(1, 4 * sum(dims)))
-    per = max(1, target // row_quant) * row_quant
+    import math
+
+    quant = math.lcm(row_quant, 128)
+    if n_rows % quant != 0:
+        return n_rows  # single block (full lane dim: no offset alignment)
+    target = max(quant, (12 << 20) // max(1, 4 * sum(dims)))
+    per = max(1, target // quant) * quant
     per = min(per, n_rows)
     while n_rows % per != 0:
-        per -= row_quant
+        per -= quant
     return per
 
 
@@ -270,14 +304,15 @@ def _interpret_default(interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def mlp_stats(x, params, upto: int, interpret: bool | None = None):
-    """Sum and gram of h_upto over all rows. x (R, C) rows; params tuple of
-    (W (C_j, H_j), a (H_j,), b (H_j,)). Returns (sum (H,), gram (H, H))."""
+    """Sum and gram of h_upto over all rows. x (C, R) TRANSPOSED rows (see
+    _dot_cr for why); params tuple of (W (C_j, H_j), a (H_j,), b (H_j,)).
+    Returns (sum (H,), gram (H, H))."""
     s8, gram = _mlp_stats_fwd_impl(x, params, upto, interpret)
     return s8.sum(axis=0), gram
 
 
 def _mlp_stats_fwd_impl(x, params, upto, interpret):
-    R, C = x.shape
+    C, R = x.shape
     H = params[upto - 1][0].shape[1]
     per = _row_block(R, _ACC_ROWS, (C,) + tuple(p[0].shape[1] for p in params[:upto]))
     ops, specs = _layer_operands(params[:upto])
@@ -286,7 +321,7 @@ def _mlp_stats_fwd_impl(x, params, upto, interpret):
     s8, gram = pl.pallas_call(
         kern,
         grid=(R // per,),
-        in_specs=[pl.BlockSpec((per, C), lambda g: (g, 0),
+        in_specs=[pl.BlockSpec((C, per), lambda g: (0, g),
                                memory_space=pltpu.VMEM)] + specs,
         out_specs=(
             pl.BlockSpec((_ACC_ROWS, H), lambda g: (0, 0),
@@ -313,7 +348,7 @@ def _mlp_stats_fwd(x, params, upto, interpret):
 def _mlp_stats_bwd(upto, interpret, res, cots):
     x, params = res
     dS, dG = cots
-    R, C = x.shape
+    C, R = x.shape
     per = _row_block(R, _ACC_ROWS, (C,) + tuple(p[0].shape[1] for p in params[:upto]))
     ops, specs = _layer_operands(params[:upto])
     const = lambda shape: pl.BlockSpec(shape, lambda g: (0,) * len(shape),
@@ -323,9 +358,9 @@ def _mlp_stats_bwd(upto, interpret, res, cots):
     # pad the 1-row cotangent to 8 sublanes (Mosaic tile rule); row 0 real
     dS8 = jnp.concatenate([dS2, jnp.zeros((_ACC_ROWS - 1, H), jnp.float32)],
                           axis=0)
-    out_specs = [pl.BlockSpec((per, C), lambda g: (g, 0),
+    out_specs = [pl.BlockSpec((C, per), lambda g: (0, g),
                               memory_space=pltpu.VMEM)]
-    out_shapes = [jax.ShapeDtypeStruct((R, C), jnp.float32)]
+    out_shapes = [jax.ShapeDtypeStruct((C, R), jnp.float32)]
     for j in range(upto):
         cj, hj = params[j][0].shape
         out_specs += [const((cj, hj)), const((2, hj))]
@@ -336,7 +371,7 @@ def _mlp_stats_bwd(upto, interpret, res, cots):
     outs = pl.pallas_call(
         kern,
         grid=(R // per,),
-        in_specs=([pl.BlockSpec((per, C), lambda g: (g, 0),
+        in_specs=([pl.BlockSpec((C, per), lambda g: (0, g),
                                 memory_space=pltpu.VMEM)] + specs
                   + [const((_ACC_ROWS, H)), const((H, H))]),
         out_specs=tuple(out_specs),
@@ -368,14 +403,14 @@ mlp_stats.defvjp(_mlp_stats_fwd, _mlp_stats_bwd)
 def mlp_pool(x, params, nsample: int, interpret: bool | None = None):
     """3-layer chain + max over each consecutive ``nsample`` rows.
 
-    x (R, C) with R = n_centers * nsample (slot-minor: rows of one center
-    are consecutive); returns pooled (R // nsample, H3)."""
+    x (C, R) TRANSPOSED rows with R = n_centers * nsample (slot-minor: rows
+    of one center are consecutive); returns pooled (R // nsample, H3)."""
     pooled, _ = _mlp_pool_fwd_impl(x, params, nsample, interpret)
     return pooled
 
 
 def _mlp_pool_fwd_impl(x, params, nsample, interpret):
-    R, C = x.shape
+    C, R = x.shape
     H3 = params[2][0].shape[1]
     per = _row_block(R, nsample * _ACC_ROWS, (C,) + tuple(p[0].shape[1] for p in params))
     ops, specs = _layer_operands(params)
@@ -385,7 +420,7 @@ def _mlp_pool_fwd_impl(x, params, nsample, interpret):
     pooled, arg = pl.pallas_call(
         kern,
         grid=(R // per,),
-        in_specs=[pl.BlockSpec((per, C), lambda g: (g, 0),
+        in_specs=[pl.BlockSpec((C, per), lambda g: (0, g),
                                memory_space=pltpu.VMEM)] + specs,
         out_specs=(
             pl.BlockSpec((nc, H3), lambda g: (g, 0),
@@ -411,16 +446,16 @@ def _mlp_pool_fwd(x, params, nsample, interpret):
 
 def _mlp_pool_bwd(nsample, interpret, res, dpooled):
     x, params, arg = res
-    R, C = x.shape
+    C, R = x.shape
     per = _row_block(R, nsample * _ACC_ROWS, (C,) + tuple(p[0].shape[1] for p in params))
     nc = per // nsample
     ops, specs = _layer_operands(params)
     const = lambda shape: pl.BlockSpec(shape, lambda g: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     H3 = params[2][0].shape[1]
-    out_specs = [pl.BlockSpec((per, C), lambda g: (g, 0),
+    out_specs = [pl.BlockSpec((C, per), lambda g: (0, g),
                               memory_space=pltpu.VMEM)]
-    out_shapes = [jax.ShapeDtypeStruct((R, C), jnp.float32)]
+    out_shapes = [jax.ShapeDtypeStruct((C, R), jnp.float32)]
     for j in range(3):
         cj, hj = params[j][0].shape
         out_specs += [const((cj, hj)), const((2, hj))]
@@ -431,7 +466,7 @@ def _mlp_pool_bwd(nsample, interpret, res, dpooled):
     outs = pl.pallas_call(
         kern,
         grid=(R // per,),
-        in_specs=([pl.BlockSpec((per, C), lambda g: (g, 0),
+        in_specs=([pl.BlockSpec((C, per), lambda g: (0, g),
                                 memory_space=pltpu.VMEM)] + specs
                   + [pl.BlockSpec((nc, H3), lambda g: (g, 0),
                                   memory_space=pltpu.VMEM),
@@ -469,15 +504,16 @@ mlp_pool.defvjp(_mlp_pool_fwd, _mlp_pool_bwd)
 
 def fused_trainable_sa_fn(x, convs, bns, ns: int, axis_name=None,
                           interpret: bool | None = None):
-    """Pure core. x (R, C) grouped rows (R = n_centers * ns, slot-minor);
-    convs = (W1, W2, W3) with W_j (C_j, H_j); bns[j] = (scale|None,
-    bias|None, eps) — train-mode BatchNorm folded analytically.
+    """Pure core. x (C, R) TRANSPOSED grouped rows (R = n_centers * ns,
+    slot-minor; see _dot_cr for the layout rationale); convs = (W1, W2, W3)
+    with W_j (C_j, H_j); bns[j] = (scale|None, bias|None, eps) — train-mode
+    BatchNorm folded analytically.
 
     Returns (pooled (R//ns, H3) f32, ((mean_h, var_h) per layer) for the
     running-stat updates). Gradients flow through the batch statistics
     exactly as in torch/flax BN (the fold is differentiable).
     """
-    R = x.shape[0]
+    R = x.shape[1]
     n_total = jnp.float32(R)
     if axis_name is not None:
         n_total = n_total * jax.lax.psum(1, axis_name)
@@ -504,10 +540,10 @@ def fused_trainable_sa_fn(x, convs, bns, ns: int, axis_name=None,
             b = b + bias.astype(jnp.float32)
         return a, b, mean_h, var_h
 
-    # layer 1: input moments straight from grouped (XLA fused reduce + one
-    # (C, C) HIGHEST dot — C is tiny)
-    s0 = jnp.sum(x.astype(jnp.float32), axis=0)
-    g0 = jax.lax.dot_general(x, x, (((0,), (0,)), ((), ())),
+    # layer 1: input moments straight from the (C, R) rows (XLA fused
+    # reduce + one (C, C) HIGHEST dot — C is tiny)
+    s0 = jnp.sum(x.astype(jnp.float32), axis=1)
+    g0 = jax.lax.dot_general(x, x, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
     mean0, gram0 = pmean_moments(s0, g0)
@@ -556,7 +592,9 @@ def fused_trainable_sa(grouped: Array, mlp, interpret: bool | None = None,
     G, m, ns, C = grouped.shape
     layers = list(mlp.layers)
     assert len(layers) == 3
-    x = grouped.reshape(G * m * ns, C)
+    # transpose to (C, R): the kernels' op-boundary layout (small channel
+    # counts pad 8 sublanes instead of 128 lanes — see _dot_cr)
+    x = jnp.transpose(grouped.reshape(G * m * ns, C))
     convs = tuple(layer.conv.kernel.value for layer in layers)
     bns = tuple((None if layer.bn.scale is None else layer.bn.scale.value,
                  None if layer.bn.bias is None else layer.bn.bias.value,
@@ -564,8 +602,6 @@ def fused_trainable_sa(grouped: Array, mlp, interpret: bool | None = None,
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
-
-        from sceneverse_tpu.parallel.mesh import dp_shard_map
 
         # None scale/bias can't ride shard_map operands; GPS BN always has
         # affine params, so just require them here
@@ -583,13 +619,15 @@ def fused_trainable_sa(grouped: Array, mlp, interpret: bool | None = None,
         flat_bn = []
         for (s, b, _e) in bns:
             flat_bn += [s, b]
-        # pooled is dim-0 sharded; the moment outputs are psum'd inside and
+        # x shards on its ROW dim (dim 1 of the (C, R) layout — R//dp stays
+        # whole-objects because rows are (g, center, slot)-ordered); pooled
+        # is dim-0 sharded; the moment outputs are psum'd inside and
         # therefore shard-identical -> replicated out spec
+        in_specs = (P(None, "dp"),) + (P(),) * 9
         out_specs = (P("dp"), tuple((P(), P()) for _ in range(3)))
-        pooled, stats = dp_shard_map(body, mesh, n_sharded=1,
-                                     n_replicated=9,
-                                     out_specs=out_specs)(x, *convs,
-                                                          *flat_bn)
+        pooled, stats = jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False)(x, *convs, *flat_bn)
     else:
         pooled, stats = fused_trainable_sa_fn(x, convs, bns, ns,
                                               axis_name=None,

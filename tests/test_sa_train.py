@@ -78,7 +78,7 @@ def _ref_pool(x, params, ns):
 @pytest.mark.parametrize("upto", [1, 2])
 def test_mlp_stats_matches_replica(upto):
     x, params = _x(), _params()
-    s_k, g_k = sa_train.mlp_stats(x, params, upto, True)
+    s_k, g_k = sa_train.mlp_stats(jnp.transpose(x), params, upto, True)
     s_r, g_r = _ref_stats(x, params, upto)
     np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_r),
                                rtol=1e-5, atol=1e-4)
@@ -95,7 +95,7 @@ def test_mlp_stats_grads_match_replica(upto):
     cg = jnp.asarray(rngp.randn(H, H).astype(np.float32) * 0.1)
 
     def loss_k(x, params):
-        s, g = sa_train.mlp_stats(x, params, upto, True)
+        s, g = sa_train.mlp_stats(jnp.transpose(x), params, upto, True)
         return jnp.sum(s * cs) + jnp.sum(g * cg)
 
     def loss_r(x, params):
@@ -120,7 +120,8 @@ def test_mlp_pool_matches_replica_with_grads():
     cw = jnp.asarray(rngp.randn(G * M, SPEC[-1]).astype(np.float32))
 
     def loss_k(x, params):
-        return jnp.sum(sa_train.mlp_pool(x, params, NS, True) * cw)
+        return jnp.sum(sa_train.mlp_pool(jnp.transpose(x), params, NS, True)
+                       * cw)
 
     def loss_r(x, params):
         return jnp.sum(_ref_pool(x, params, NS) * cw)
