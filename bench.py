@@ -24,6 +24,7 @@ target is vs_baseline >= 3 (BASELINE.json: ">=3x A100 scenes/sec/chip").
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -119,7 +120,11 @@ def main(bf16: bool = True):
     # tunnel adds tens of ms of dispatch per call and occasionally stalls,
     # which a python-side step loop pays per step; scanning K steps measures
     # the chip's own step time (what a directly-attached deployment sees)
-    @jax.jit
+    # donate_argnums: the consumed state's buffers are reused for the
+    # updated state, so params + optimizer moments are single-buffered —
+    # several GiB of peak HBM at GPS scale (the round-5 cap64-after-cap300
+    # runtime OOM margin)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_k(state, batch):
         def body(st, _):
             total, st2 = train_step(st, batch)
@@ -142,13 +147,16 @@ def main(bf16: bool = True):
     # overrides the limit.
     memcheck = os.environ.get("SCENEVERSE_BENCH_MEMCHECK", "1").lower() \
         not in ("0", "off", "false")
-    # conservative: the static analysis does not see the axon runtime's own
-    # buffers / lazily-freed prior arrays — a 14.75 GiB prediction OOM'd a
-    # 16 GiB chip at runtime (round 5)
-    limit = float(os.environ.get("SCENEVERSE_BENCH_HBM_LIMIT", 13.5e9))
+    # The static analysis is approximate in BOTH directions: a 14.75 GiB
+    # cap-300 b256 prediction OOM'd at runtime (leftover arrays from the
+    # preceding too-big attempt — hence the explicit del below), while the
+    # round-4 unfreeze b64 step predicted 14.85 GiB and ran fine. 15.0e9
+    # keeps proven configurations runnable while rejecting true oversizes.
+    limit = float(os.environ.get("SCENEVERSE_BENCH_HBM_LIMIT", 15.0e9))
     no_mfu = bool(os.environ.get("SCENEVERSE_BENCH_NO_MFU"))
     batch_size = BATCH
     step_flops = 0.0
+    compiled = None
     while True:
         batch = _gps_batch(batch_size, NUM_OBJ, NUM_POINTS, SEQ_LEN,
                            cap_len=CAP_LEN)
@@ -189,7 +197,7 @@ def main(bf16: bool = True):
                         "hbm_needed_gib": round(need / 2**30, 2)}))
                     return
         except Exception:
-            pass
+            compiled = None
         break
     # the frozen-tower Pallas kernels are opaque to XLA's FLOP count; in the
     # unfreeze ablation the tower runs (and is counted) as plain XLA ops
@@ -198,24 +206,28 @@ def main(bf16: bool = True):
                                               NUM_POINTS))
     pallas_flops += _fused_mha_flops(train_step, state, batch)
 
-    def measure(state, batch, n_scenes):
+    def measure(state, batch, n_scenes, fn=None):
         """Best-of-N scan blocks, one scalar fetch each: the fastest block is
-        the chip's steady-state capability."""
-        total, state = train_k(state, batch)
+        the chip's steady-state capability. ``fn`` defaults to the AOT
+        executable from the memcheck compile — re-calling the jit function
+        would COMPILE THE SAME PROGRAM AGAIN (the AOT path does not populate
+        the jit cache; each big compile costs 10+ minutes over the tunnel)."""
+        fn = fn or train_k
+        total, state = fn(state, batch)
         for _ in range(WARMUP - 1):
-            total, state = train_k(state, batch)
+            total, state = fn(state, batch)
         # fetching the scalar forces full completion (plain block_until_ready
         # has under-measured through the remote-execution proxy)
         float(total)
         dts = []
         for _ in range(BLOCKS):
             t0 = time.perf_counter()
-            total, state = train_k(state, batch)
+            total, state = fn(state, batch)
             float(total)
             dts.append(time.perf_counter() - t0)
         return n_scenes * SCAN_STEPS / min(dts), min(dts), state
 
-    scenes_per_sec, dt, state = measure(state, batch, batch_size)
+    scenes_per_sec, dt, state = measure(state, batch, batch_size, compiled)
     out = {
         "metric": "gps_pretrain_scenes_per_sec_per_chip",
         "value": round(scenes_per_sec, 2),
@@ -231,6 +243,14 @@ def main(bf16: bool = True):
         out["gflops_per_scene"] = round(total_flops / batch_size / 1e9, 1)
         out["gflops_per_scene_xla"] = round(step_flops / batch_size / 1e9, 1)
     if CAP64 and CAP_LEN != 64:
+        # free the headline executable + device batch BEFORE compiling the
+        # cap-64 one: both run near the HBM limit, and the round-5 runtime
+        # OOM came from the pair being resident together (the static
+        # memcheck can't see the other executable's arrays)
+        del batch, compiled
+        import gc
+
+        gc.collect()
         # secondary shape: cap-64 (round <=4 headline; the shape a
         # length-bucketing loader reaches on short-caption data) at ITS OWN
         # batch optimum (the round-4 default 256) when it fits
@@ -238,22 +258,23 @@ def main(bf16: bool = True):
         while b64 >= 16:
             batch64 = _gps_batch(b64, NUM_OBJ, NUM_POINTS, SEQ_LEN,
                                  cap_len=64)
+            compiled64 = None
             if memcheck:
                 try:
-                    mem = train_k.lower(state, batch64).compile(
-                    ).memory_analysis()
+                    compiled64 = train_k.lower(state, batch64).compile()
+                    mem = compiled64.memory_analysis()
                     need = (mem.argument_size_in_bytes
                             + mem.temp_size_in_bytes
                             + mem.output_size_in_bytes)
                     # b256-cap64 is the round-4 shipped default, proven to
                     # execute — allow it the measured headroom
                     if need > max(limit, 14.8e9):
-                        del batch64
+                        del batch64, compiled64
                         b64 //= 2
                         continue
                 except Exception:
-                    pass
-            sps, _, state = measure(state, batch64, b64)
+                    compiled64 = None
+            sps, _, state = measure(state, batch64, b64, compiled64)
             out["scenes_per_sec_cap64"] = round(sps, 2)
             out["batch_cap64"] = b64
             break
