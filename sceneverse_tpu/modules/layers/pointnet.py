@@ -83,6 +83,19 @@ def _bn_fold_enabled() -> bool:
         "1", "on", "true")
 
 
+def _sa2_batched_enabled() -> bool:
+    """Loop-free dense stage 1 for small-N SA levels (SA2): bit-equal to the
+    per-object form (ops/pallas/sa_forward.py _kernel_dense_batched), kept
+    as a measured experiment. Default OFF: on-chip the batched kernel ran
+    ~2x SLOWER than the per-object unroll at SA2 GPS shapes (4.4 -> 9.2 ms;
+    BASELINE.md round 5 — the broadcast/4D-pool value materialization costs
+    more than the per-object instruction stream it removes)."""
+    import os
+
+    return os.environ.get("SCENEVERSE_SA2_BATCHED", "off").lower() in (
+        "1", "on", "true")
+
+
 def _sa_train_fused_enabled() -> bool:
     """Fused trainable-SA kernel (ops/pallas/sa_train.py: 3x conv+train-BN+
     ReLU + max-pool with the activation chain in VMEM). Default ON where the
@@ -262,6 +275,8 @@ class PointnetSAModule(nnx.Module):
             # kernel feeding centers in (bit-identical outputs).
             small_n = pts.shape[1] < 256
 
+            dense_batched = small_n and _sa2_batched_enabled()
+
             def fsa(pts, w1, s1, w2, s2, w3, s3):
                 return fused_sa_forward_frozen(
                     pts, self.npoint, self.nsample, self.radius,
@@ -269,6 +284,7 @@ class PointnetSAModule(nnx.Module):
                     64 if small_n else 128,  # block_objects (positional:
                     small_n,                 # custom_jvp nondiff args)
                     _pallas_interpret(),
+                    dense_batched,           # loop-free dense stage 1 (SA2)
                 )
 
             pooled, new_xyz = _maybe_dp_shard_map(

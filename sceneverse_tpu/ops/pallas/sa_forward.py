@@ -95,6 +95,123 @@ def _stage2_pool_dense(g_ref, wm_ref, pooled_ref, w2, a2, b2, w3, a3, b3, *,
             pooled_ref[o, :, :] = jnp.where(count_col > 0, pooled, h3d[0])
 
 
+def _kernel_dense_batched(ptsT_ref, cin_ref, xyzpm_ref, cenrep_ref,
+                          w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
+                          pooled_ref, *, npoint, radius, n, bo, hs,
+                          pool4d=True):
+    """DENSE path vectorized over CHUNKS of objects (the SA2 configuration:
+    nsample >= n, centers from the split FPS kernel).
+
+    The per-object dense loop in `_kernel` issues ~10 tiny vector ops and two
+    sub-tile dots per object; at bo=64 that is instruction-issue-bound, not
+    VPU/MXU-bound (the same structure as SA1's measured 13 ms n-independent
+    overhead). The first rewrite ran every step ONCE over the whole block —
+    and measured 2.1x SLOWER on-chip: the (bo*n*m, H1) f32 intermediates
+    (~17 MB each, several live) saturate VMEM and serialize Mosaic's block
+    pipeline. This version processes `bo_c = max(1, 4096 // opc)` objects
+    per iteration (8 at SA2 scale: 8 vectorized iterations instead of 64
+    scalar ones, ~2 MB live values), with stage 2 + pool fused into the same
+    chunk so the h1 activations never round-trip a block-sized scratch.
+
+      * masks: (bo_c*n, m) point-major rows per chunk — point coords ride in
+        as pre-flattened (G*n, 8) rows (`xyzpm`), centers broadcast from the
+        (bo, 8, m) FPS block via the proven insert-sublane-axis reshape.
+      * layer-1 projection: one (C, bo_c*n) x (C, H1) MXU dot per chunk (K
+        and per-element accumulation order identical to the per-object
+        dots -> bit-equal).
+      * the centering term: centers arrive PRE-REPEATED to pair rows as an
+        (8, G*n*m) operand (`cenrep`, built by ONE XLA broadcast —
+        lanes-major so its VMEM block stays ~1 MB), so cw1_rep is one
+        (3, R_c) x (3, H1) dot per chunk instead of a per-object
+        pltpu.repeat. Extra HBM read ~84 MB @ GPS SA2 scale = ~0.1 ms at
+        v5e HBM bandwidth, bought against the unrolled loop.
+      * pool: one masked max over the point axis of the chunk's
+        (bo_c, n, m, h3) activations, with the empty-ball (c, 0) fallback.
+
+    Pair-row layout (p-major, r = p*m + c) and all numerics (bf16-operand /
+    f32-accumulate dots, bf16 round-trip of projected points AND of the h1
+    activations — matching `_kernel`'s bf16 g_ref scratch) are IDENTICAL to
+    `_kernel`'s dense path — outputs are bit-equal
+    (tests/test_sa_forward.py)."""
+    m = npoint
+    opc = m * n
+    h1, h2, h3 = hs
+    w1 = w1_ref[:, :]
+    w2 = w2_ref[:, :]
+    w3 = w3_ref[:, :]
+    a1, b1 = s1_ref[0:1, :], s1_ref[1:2, :]
+    a2, b2 = s2_ref[0:1, :], s2_ref[1:2, :]
+    a3, b3 = s3_ref[0:1, :], s3_ref[1:2, :]
+
+    bo_c = max(1, min(bo, 4096 // opc))
+    while bo % bo_c != 0:
+        bo_c -= 1
+    rows_c = bo_c * n
+
+    def dot0(x, w):
+        return lax.dot_general(x.astype(jnp.bfloat16), w,
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    def dot1(h, w):
+        return lax.dot_general(h.astype(jnp.bfloat16), w,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    for s in range(0, bo, bo_c):
+        # ---- within masks, one shot per chunk ----
+        px = xyzpm_ref[s * n:s * n + rows_c, 0:1]
+        py = xyzpm_ref[s * n:s * n + rows_c, 1:2]
+        pz = xyzpm_ref[s * n:s * n + rows_c, 2:3]  # (bo_c*n, 1)
+        cxa = cin_ref[s:s + bo_c, 0, :]
+        cya = cin_ref[s:s + bo_c, 1, :]
+        cza = cin_ref[s:s + bo_c, 2, :]  # (bo_c, m)
+        cx_rep = jnp.broadcast_to(
+            cxa[:, None, :], (bo_c, n, m)).reshape(rows_c, m)
+        cy_rep = jnp.broadcast_to(
+            cya[:, None, :], (bo_c, n, m)).reshape(rows_c, m)
+        cz_rep = jnp.broadcast_to(
+            cza[:, None, :], (bo_c, n, m)).reshape(rows_c, m)
+        d2 = ((px - cx_rep) ** 2 + (py - cy_rep) ** 2
+              + (pz - cz_rep) ** 2)  # (bo_c*n, m)
+        within = (d2 < radius * radius).astype(jnp.float32)
+
+        # ---- layer-1 pair features ----
+        pw = dot0(ptsT_ref[:, s * n:s * n + rows_c], w1)  # (bo_c*n, H1)
+        # bf16 round-trip: bit-match with `_kernel`'s dense/selection paths
+        pw = pw.astype(jnp.bfloat16).astype(jnp.float32)
+        pw_rep = jnp.broadcast_to(
+            pw[:, None, :], (rows_c, m, h1)).reshape(bo_c * opc, h1)
+        cw1_rep = dot0(cenrep_ref[0:3, s * opc:(s + bo_c) * opc], w1[0:3, :])
+        # bf16 round-trip matches `_kernel`'s bf16 g_ref scratch
+        g = jnp.maximum(
+            a1 * (pw_rep - cw1_rep) + b1, 0.0).astype(jnp.bfloat16)
+
+        # ---- stage 2 + masked pool, fused into the chunk ----
+        h = jnp.maximum(dot1(g, w2) * a2 + b2, 0.0)
+        h = jnp.maximum(dot1(h, w3) * a3 + b3, 0.0)  # (bo_c*opc, H3)
+        if pool4d:
+            h4 = h.reshape(bo_c, n, m, h3)
+            w4 = within.reshape(bo_c, n, m)[:, :, :, None]
+            pooled = jnp.max(jnp.where(w4 > 0, h4, -3.0e38), axis=1)
+            count = jnp.sum(within.reshape(bo_c, n, m), axis=1)  # (bo_c, m)
+            # pair (c, 0): empty-ball pick (CUDA zero-init -> point 0)
+            pooled_ref[s:s + bo_c, :, :] = jnp.where(
+                count[:, :, None] > 0, pooled, h4[:, 0])
+        else:
+            # per-object 3D pool (bisection variant: isolates the 4D
+            # where/max lowering from the batched stage 1)
+            for bb in range(bo_c):
+                h3d = h[bb * opc:(bb + 1) * opc, :].reshape(n, m, h3)
+                wmt = within[bb * n:(bb + 1) * n, :]  # (n, m)
+                masked = jnp.where(wmt[:, :, None] > 0, h3d, -3.0e38)
+                pooled = jnp.max(masked, axis=0)  # (m, h3)
+                count_col = _row_to_col(
+                    jnp.sum(wmt, axis=0, keepdims=True), m)
+                pooled_ref[s + bb, :, :] = jnp.where(
+                    count_col > 0, pooled, h3d[0])
+
+
 def _fps_inline(x, y, z, lane, newxyz_ref, *, npoint, n, bo):
     """FPS selection over (bo, n) coordinate rows; writes (bo, 8, m) centers
     into newxyz_ref and returns (cxa, cya, cza) center accumulators.
@@ -422,11 +539,13 @@ def _kernel(pts_ref, *refs, npoint, nsample, radius,
 @functools.partial(jax.jit, static_argnames=("npoint", "nsample", "radius",
                                              "interpret", "block_objects",
                                              "stages", "split_fps",
-                                             "fps_block_objects"))
+                                             "fps_block_objects",
+                                             "dense_batched"))
 def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
                      w1, s1, w2, s2, w3, s3, interpret: bool = False,
                      block_objects: int = 16, stages: int = 3,
-                     split_fps: bool = False, fps_block_objects: int = 512):
+                     split_fps: bool = False, fps_block_objects: int = 512,
+                     dense_batched: bool = False):
     """Fused frozen-SA forward.
 
     Args:
@@ -439,6 +558,9 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
         feeding centers into the main kernel — same math/bits, amortizes
         the serial FPS chain when block_objects is capped small by the
         stage-1/2 unroll (the SA2 configuration).
+      dense_batched: use the loop-free `_kernel_dense_batched` stage 1
+        (bit-equal; requires the dense configuration nsample >= N with
+        split_fps and stages == 3 — silently falls back otherwise).
     Returns:
       pooled: (G, npoint, H3) f32 — post-MLP max-pooled features,
       new_xyz: (G, npoint, 3) f32.
@@ -500,6 +622,64 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
         )(operand)
         if transposed:
             centers = jnp.transpose(centers, (2, 0, 1))  # (G, 8, npoint)
+
+    _bo_b = bo
+    # lane-dim block offsets (g*bo*N) must be 128-aligned when the grid has
+    # more than one block; widen bo (within G-divisibility) to get there
+    while _bo_b < G and (_bo_b * N) % 128 != 0 and G % (_bo_b * 2) == 0:
+        _bo_b *= 2
+    if (dense_batched and split_fps and nsample >= N and stages == 3
+            and ((_bo_b * N) % 128 == 0 or _bo_b == G)):
+        bo = _bo_b
+        m = npoint
+        opc = m * N
+        # (C, G*N) channel-major points: ONE layer-1 dot per block, and its
+        # lane-dim block offsets (g*bo*N) are 128-aligned at bo*N >= 128
+        ptsT_cm = jnp.transpose(pts, (2, 0, 1)).reshape(C, G * N)
+        # (G*N, 8) point-major coordinate rows for the mask columns
+        xyzpm = jnp.concatenate(
+            [pts[:, :, 0:3],
+             jnp.zeros((G, N, 5), pts.dtype)], axis=2,
+        ).reshape(G * N, 8).astype(jnp.float32)
+        # (8, G*N*m) centers pre-repeated to pair rows r = p*m + c
+        # (lanes-major so the VMEM block is sublane-8 x lane-(bo*opc))
+        cenrep = jnp.broadcast_to(
+            jnp.transpose(centers, (1, 0, 2))[:, :, None, :],
+            (8, G, N, m)).reshape(8, G * opc)
+        import os
+
+        kernel = functools.partial(
+            _kernel_dense_batched, npoint=npoint, radius=float(radius),
+            n=N, bo=bo, hs=hs,
+            pool4d=os.environ.get("SCENEVERSE_SA2_POOL4D", "1") != "0",
+        )
+        const = lambda *shape: pl.BlockSpec(
+            shape, lambda g: (0,) * len(shape), memory_space=pltpu.VMEM)
+        pooled = pl.pallas_call(
+            kernel,
+            grid=(G // bo,),
+            in_specs=[
+                pl.BlockSpec((C, bo * N), lambda g: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bo, 8, npoint), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bo * N, 8), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, bo * opc), lambda g: (0, g),
+                             memory_space=pltpu.VMEM),
+                const(*w1n.shape), const(*s1n.shape),
+                const(*w2n.shape), const(*s2n.shape),
+                const(*w3n.shape), const(*s3n.shape),
+            ],
+            out_specs=pl.BlockSpec((bo, npoint, hs[2]), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, npoint, hs[2]), jnp.float32),
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(ptsT_cm, centers, xyzpm, cenrep, w1n, s1n, w2n, s2n, w3n, s3n)
+        return pooled, jnp.swapaxes(centers[:, 0:3, :], 1, 2)
 
     kernel = functools.partial(
         _kernel, npoint=npoint, nsample=nsample, radius=float(radius),
@@ -578,22 +758,23 @@ def fold_shared_mlp(shared_mlp):
 # kernel opaque; it is only ever used under freeze=True where these gradients
 # are discarded anyway.
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3, 10, 11, 12))
+@functools.partial(jax.custom_jvp,
+                   nondiff_argnums=(1, 2, 3, 10, 11, 12, 13))
 def fused_sa_forward_frozen(pts, npoint, nsample, radius,
                             w1, s1, w2, s2, w3, s3,
                             block_objects=16, split_fps=False,
-                            interpret=False):
+                            interpret=False, dense_batched=False):
     return fused_sa_forward(pts, npoint, nsample, radius,
                             w1, s1, w2, s2, w3, s3,
                             block_objects=block_objects, split_fps=split_fps,
-                            interpret=interpret)
+                            interpret=interpret, dense_batched=dense_batched)
 
 
 @fused_sa_forward_frozen.defjvp
 def _fsa_jvp(npoint, nsample, radius, block_objects, split_fps, interpret,
-             primals, tangents):
+             dense_batched, primals, tangents):
     del tangents
     out = fused_sa_forward_frozen(primals[0], npoint, nsample, radius,
                                   *primals[1:], block_objects, split_fps,
-                                  interpret)
+                                  interpret, dense_batched)
     return out, jax.tree.map(jnp.zeros_like, out)

@@ -109,6 +109,47 @@ def test_fused_sa_forward_split_fps_parity(G, N, m, fbo):
                                rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.parametrize(
+    "G,N,m,ns,r,bo",
+    [
+        # SA2 geometry (scaled): multi-block grid, empty balls included
+        (16, 32, 16, 32, 0.8, 4),
+        (16, 32, 16, 32, 0.05, 4),   # mostly-empty balls: (c, 0) fallback
+        (8, 32, 8, 48, 0.8, 8),      # ns > n, single block (bo == G)
+        (12, 16, 8, 16, 0.8, 4),     # bo*N % 128 != 0: bo must widen/fallback
+    ],
+)
+def test_fused_sa_forward_dense_batched_bitparity(G, N, m, ns, r, bo):
+    """dense_batched=True (loop-free stage 1, pre-repeated centers operand)
+    must be BIT-identical to the per-object dense kernel: same dots with the
+    same contraction order per element, same mask math, same pool."""
+    rng = np.random.RandomState(7)
+    C = 6
+    sa = PointnetSAModule(
+        npoint=m, radius=r, nsample=ns, mlp=[3, 8, 8, 16],
+        use_pallas=False, rngs=nnx.Rngs(7),
+    )
+    sa.eval()
+    pts = rng.randn(G, N, C).astype(np.float32)
+    pts[:, -2:, :3] = 1e-4  # FPS pad-skip rule active
+    pts = jnp.asarray(pts)
+    (w1, s1), (w2, s2), (w3, s3) = fold_shared_mlp(sa.mlp)
+    pooled0, xyz0 = fused_sa_forward(
+        pts, m, ns, r, w1, s1, w2, s2, w3, s3, interpret=True,
+        block_objects=bo, split_fps=True, dense_batched=False)
+    pooled1, xyz1 = fused_sa_forward(
+        pts, m, ns, r, w1, s1, w2, s2, w3, s3, interpret=True,
+        block_objects=bo, split_fps=True, dense_batched=True)
+    np.testing.assert_array_equal(np.asarray(xyz0), np.asarray(xyz1))
+    np.testing.assert_array_equal(np.asarray(pooled0), np.asarray(pooled1))
+    # and against the two-stage reference semantics
+    new_xyz_ref, pooled_ref = sa(pts[..., :3], pts[..., 3:])
+    np.testing.assert_allclose(np.asarray(xyz1), np.asarray(new_xyz_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pooled1), np.asarray(pooled_ref),
+                               rtol=5e-2, atol=5e-2)
+
+
 @pytest.mark.parametrize("N,ns,r", [(32, 32, 0.8), (16, 24, 0.8),
                                     (32, 32, 0.05)])  # 0.05: empty balls
 def test_fused_sa_forward_dense_path(N, ns, r):
