@@ -66,19 +66,26 @@ def main(shapes=((300, 128), (64, 256))):
     def eval_k(state, batch):
         m = nnx.merge(graphdef, state)
 
-        def body(acc, _):
+        def metrics_of(batch):
             out = m(batch)
-            metrics = ev.batch_metrics({**batch, **out}, include_count=True)
+            return ev.batch_metrics({**batch, **out}, include_count=True)
+
+        def body(carry, _):
+            acc, eps = carry
+            # thread a carry-dependent epsilon through the inputs: without
+            # it the forward is loop-invariant and XLA hoists it out of the
+            # scan (measured: a bogus 16.5k scenes/s)
+            b2 = {**batch, "obj_fts": batch["obj_fts"] + eps}
+            metrics = metrics_of(b2)
             sums = {k: (acc[k][0] + jnp.float32(v),
                         acc[k][1] + jnp.float32(c))
                     for k, (v, c) in metrics.items()}
-            return sums, None
+            return (sums, sums["og_acc_iou25"][0] * 1e-30), None
 
-        out0 = m(batch)
         zeros = {k: (jnp.float32(0), jnp.float32(0))
-                 for k in ev.batch_metrics({**batch, **out0},
-                                           include_count=True)}
-        acc, _ = jax.lax.scan(body, zeros, None, length=SCAN_STEPS)
+                 for k in jax.eval_shape(metrics_of, batch)}
+        (acc, _eps), _ = jax.lax.scan(body, (zeros, jnp.float32(0)),
+                                      None, length=SCAN_STEPS)
         return acc["og_acc_iou25"][0]
 
     for cap_len, b in shapes:
@@ -90,8 +97,7 @@ def main(shapes=((300, 128), (64, 256))):
             t0 = time.perf_counter()
             float(eval_k(state, batch))
             dts.append(time.perf_counter() - t0)
-        # the warm forward outside the scan runs every call: count it
-        rate = b * (SCAN_STEPS + 1) / min(dts)
+        rate = b * SCAN_STEPS / min(dts)
         print(json.dumps({
             "metric": "gps_fused_eval_scenes_per_sec_per_chip",
             "value": round(rate, 2), "unit": "scenes/s",

@@ -98,12 +98,16 @@ def _sa2_batched_enabled() -> bool:
 
 def _sa_train_fused_enabled() -> bool:
     """Fused trainable-SA kernel (ops/pallas/sa_train.py: 3x conv+train-BN+
-    ReLU + max-pool with the activation chain in VMEM). Default ON where the
-    Pallas path runs; SCENEVERSE_SA_TRAIN_FUSED=off falls back to the XLA
-    fold pipeline (same math — the fused path exists for HBM traffic)."""
+    ReLU + max-pool with the activation chain in VMEM). Default OFF: on-chip
+    the fused path measured 358.7 scenes/s vs the XLA pipeline's 483.8 at
+    the unfreeze b64 benchmark — its VJP kernels RECOMPUTE the chain
+    (~47 ms/step) and the (C, rows) op-boundary relayout adds ~13 ms/step
+    of copies, together exceeding the BN/wgrad/pool streams they remove
+    (profiles in BASELINE.md round 5). Kept as a measured experiment;
+    SCENEVERSE_SA_TRAIN_FUSED=on enables it."""
     import os
 
-    return os.environ.get("SCENEVERSE_SA_TRAIN_FUSED", "on").lower() in (
+    return os.environ.get("SCENEVERSE_SA_TRAIN_FUSED", "off").lower() in (
         "1", "on", "true")
 
 

@@ -95,7 +95,7 @@ def _stage2_pool_dense(g_ref, wm_ref, pooled_ref, w2, a2, b2, w3, a3, b3, *,
             pooled_ref[o, :, :] = jnp.where(count_col > 0, pooled, h3d[0])
 
 
-def _kernel_dense_batched(ptsT_ref, cin_ref, xyzpm_ref, cenrep_ref,
+def _kernel_dense_batched(ptsT_ref, cin_ref, xyz_ref,
                           w1_ref, s1_ref, w2_ref, s2_ref, w3_ref, s3_ref,
                           pooled_ref, *, npoint, radius, n, bo, hs,
                           pool4d=True):
@@ -105,26 +105,23 @@ def _kernel_dense_batched(ptsT_ref, cin_ref, xyzpm_ref, cenrep_ref,
     The per-object dense loop in `_kernel` issues ~10 tiny vector ops and two
     sub-tile dots per object; at bo=64 that is instruction-issue-bound, not
     VPU/MXU-bound (the same structure as SA1's measured 13 ms n-independent
-    overhead). The first rewrite ran every step ONCE over the whole block —
-    and measured 2.1x SLOWER on-chip: the (bo*n*m, H1) f32 intermediates
-    (~17 MB each, several live) saturate VMEM and serialize Mosaic's block
-    pipeline. This version processes `bo_c = max(1, 4096 // opc)` objects
-    per iteration (8 at SA2 scale: 8 vectorized iterations instead of 64
-    scalar ones, ~2 MB live values), with stage 2 + pool fused into the same
-    chunk so the h1 activations never round-trip a block-sized scratch.
+    overhead). Measured iterations (BASELINE.md round 5): (1) whole-block
+    values — 2.1x SLOWER (the ~17 MB f32 intermediates saturate VMEM and
+    serialize Mosaic's pipeline); (2) object chunks + an XLA-side
+    pre-repeated (8, G*n*m) centers operand — still 2.1x slower at every
+    chunk size, pool form irrelevant: the pre-repeated operand's VMEM tiling
+    makes its DMA 512-byte-strided. This version keeps the chunking
+    (`bo_c = max(1, 4096 // opc)` objects per iteration) but computes
+    everything from NATURAL-layout operands in-kernel:
 
-      * masks: (bo_c*n, m) point-major rows per chunk — point coords ride in
-        as pre-flattened (G*n, 8) rows (`xyzpm`), centers broadcast from the
-        (bo, 8, m) FPS block via the proven insert-sublane-axis reshape.
+      * masks: (bo_c, n, m) in one shot — points splat into sublanes,
+        centers into lanes, no flattened coordinate operand.
       * layer-1 projection: one (C, bo_c*n) x (C, H1) MXU dot per chunk (K
         and per-element accumulation order identical to the per-object
         dots -> bit-equal).
-      * the centering term: centers arrive PRE-REPEATED to pair rows as an
-        (8, G*n*m) operand (`cenrep`, built by ONE XLA broadcast —
-        lanes-major so its VMEM block stays ~1 MB), so cw1_rep is one
-        (3, R_c) x (3, H1) dot per chunk instead of a per-object
-        pltpu.repeat. Extra HBM read ~84 MB @ GPS SA2 scale = ~0.1 ms at
-        v5e HBM bandwidth, bought against the unrolled loop.
+      * the centering term: center coords transpose lanes->sublanes via a
+        batched one-hot mask (one op per chunk), one (bo_c*m, 3) x (3, H1)
+        dot, then 4D broadcasts pair it against the projected points.
       * pool: one masked max over the point axis of the chunk's
         (bo_c, n, m, h3) activations, with the empty-ball (c, 0) fallback.
 
@@ -158,34 +155,51 @@ def _kernel_dense_batched(ptsT_ref, cin_ref, xyzpm_ref, cenrep_ref,
                                (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
+    def rows_to_cols(a):
+        """(bo_c, m) lanes -> (bo_c*m, 1) sublane column (batched one-hot
+        lane transpose — same trick as _row_to_col, one op per chunk)."""
+        b = jnp.broadcast_to(a[:, None, :], (bo_c, m, m))
+        i = lax.broadcasted_iota(jnp.int32, (bo_c, m, m), 1)
+        j = lax.broadcasted_iota(jnp.int32, (bo_c, m, m), 2)
+        return jnp.sum(jnp.where(i == j, b, 0.0), axis=2,
+                       keepdims=True).reshape(bo_c * m, 1)
+
     for s in range(0, bo, bo_c):
-        # ---- within masks, one shot per chunk ----
-        px = xyzpm_ref[s * n:s * n + rows_c, 0:1]
-        py = xyzpm_ref[s * n:s * n + rows_c, 1:2]
-        pz = xyzpm_ref[s * n:s * n + rows_c, 2:3]  # (bo_c*n, 1)
+        # ---- within masks: (bo_c, n, m) in one shot (points splat into
+        # sublanes, centers into lanes — no pre-flattened coord operand) ----
+        x = xyz_ref[s:s + bo_c, 0, :]
+        y = xyz_ref[s:s + bo_c, 1, :]
+        z = xyz_ref[s:s + bo_c, 2, :]  # (bo_c, n)
         cxa = cin_ref[s:s + bo_c, 0, :]
         cya = cin_ref[s:s + bo_c, 1, :]
         cza = cin_ref[s:s + bo_c, 2, :]  # (bo_c, m)
-        cx_rep = jnp.broadcast_to(
-            cxa[:, None, :], (bo_c, n, m)).reshape(rows_c, m)
-        cy_rep = jnp.broadcast_to(
-            cya[:, None, :], (bo_c, n, m)).reshape(rows_c, m)
-        cz_rep = jnp.broadcast_to(
-            cza[:, None, :], (bo_c, n, m)).reshape(rows_c, m)
-        d2 = ((px - cx_rep) ** 2 + (py - cy_rep) ** 2
-              + (pz - cz_rep) ** 2)  # (bo_c*n, m)
-        within = (d2 < radius * radius).astype(jnp.float32)
+        d2 = ((x[:, :, None] - cxa[:, None, :]) ** 2
+              + (y[:, :, None] - cya[:, None, :]) ** 2
+              + (z[:, :, None] - cza[:, None, :]) ** 2)  # (bo_c, n, m)
+        within = (d2 < radius * radius).astype(jnp.float32).reshape(
+            rows_c, m)
 
         # ---- layer-1 pair features ----
         pw = dot0(ptsT_ref[:, s * n:s * n + rows_c], w1)  # (bo_c*n, H1)
         # bf16 round-trip: bit-match with `_kernel`'s dense/selection paths
         pw = pw.astype(jnp.bfloat16).astype(jnp.float32)
-        pw_rep = jnp.broadcast_to(
-            pw[:, None, :], (rows_c, m, h1)).reshape(bo_c * opc, h1)
-        cw1_rep = dot0(cenrep_ref[0:3, s * opc:(s + bo_c) * opc], w1[0:3, :])
+        # centers3 rows via the batched one-hot transpose, then ONE dot —
+        # same contraction (K=3, f32 accumulate) as `_kernel`'s per-object
+        # cw1 -> bit-equal
+        centers3 = jnp.concatenate(
+            [rows_to_cols(cxa), rows_to_cols(cya), rows_to_cols(cza)],
+            axis=1)  # (bo_c*m, 3)
+        cw1 = lax.dot_general(
+            centers3.astype(jnp.bfloat16), w1[0:3, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).reshape(bo_c, m, h1)
+        pw4 = jnp.broadcast_to(
+            pw.reshape(bo_c, n, 1, h1), (bo_c, n, m, h1))
+        cw14 = jnp.broadcast_to(cw1[:, None, :, :], (bo_c, n, m, h1))
         # bf16 round-trip matches `_kernel`'s bf16 g_ref scratch
         g = jnp.maximum(
-            a1 * (pw_rep - cw1_rep) + b1, 0.0).astype(jnp.bfloat16)
+            a1 * (pw4 - cw14) + b1, 0.0).astype(jnp.bfloat16).reshape(
+            bo_c * opc, h1)
 
         # ---- stage 2 + masked pool, fused into the chunk ----
         h = jnp.maximum(dot1(g, w2) * a2 + b2, 0.0)
@@ -636,16 +650,6 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
         # (C, G*N) channel-major points: ONE layer-1 dot per block, and its
         # lane-dim block offsets (g*bo*N) are 128-aligned at bo*N >= 128
         ptsT_cm = jnp.transpose(pts, (2, 0, 1)).reshape(C, G * N)
-        # (G*N, 8) point-major coordinate rows for the mask columns
-        xyzpm = jnp.concatenate(
-            [pts[:, :, 0:3],
-             jnp.zeros((G, N, 5), pts.dtype)], axis=2,
-        ).reshape(G * N, 8).astype(jnp.float32)
-        # (8, G*N*m) centers pre-repeated to pair rows r = p*m + c
-        # (lanes-major so the VMEM block is sublane-8 x lane-(bo*opc))
-        cenrep = jnp.broadcast_to(
-            jnp.transpose(centers, (1, 0, 2))[:, :, None, :],
-            (8, G, N, m)).reshape(8, G * opc)
         import os
 
         kernel = functools.partial(
@@ -663,9 +667,7 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bo, 8, npoint), lambda g: (g, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((bo * N, 8), lambda g: (g, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, bo * opc), lambda g: (0, g),
+                pl.BlockSpec((bo, 3, N), lambda g: (g, 0, 0),
                              memory_space=pltpu.VMEM),
                 const(*w1n.shape), const(*s1n.shape),
                 const(*w2n.shape), const(*s2n.shape),
@@ -678,7 +680,7 @@ def fused_sa_forward(pts: Array, npoint: int, nsample: int, radius: float,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
-        )(ptsT_cm, centers, xyzpm, cenrep, w1n, s1n, w2n, s2n, w3n, s3n)
+        )(ptsT_cm, centers, pts_t[:, 0:3, :], w1n, s1n, w2n, s2n, w3n, s3n)
         return pooled, jnp.swapaxes(centers[:, 0:3, :], 1, 2)
 
     kernel = functools.partial(
