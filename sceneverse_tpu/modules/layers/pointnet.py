@@ -74,12 +74,16 @@ def _maybe_dp_shard_map(fn, arrays, replicated=()):
 
 
 def _bn_fold_enabled() -> bool:
-    """Train-mode analytic BN fold (see ConvBNReLU). Default ON; set
-    SCENEVERSE_BN_FOLD=off for the literal conv->BatchNorm->ReLU pipeline
-    (bit-parity with nnx.BatchNorm's own reduction order)."""
+    """Train-mode analytic BN fold (see ConvBNReLU). Default OFF: the fold
+    is mathematically equivalent but its graph is MEMORY-HEAVIER at GPS
+    scale — unfreeze b64 predicts 16.05 GiB (doesn't fit the v5e) vs the
+    literal conv->BatchNorm->ReLU pipeline's fitting b64 at 491.6 scenes/s
+    (round-5 A/B; fold-on had to halve to b32 -> 254.3).
+    SCENEVERSE_BN_FOLD=on enables it (also a precondition of the fused
+    sa_train kernels)."""
     import os
 
-    return os.environ.get("SCENEVERSE_BN_FOLD", "on").lower() in (
+    return os.environ.get("SCENEVERSE_BN_FOLD", "off").lower() in (
         "1", "on", "true")
 
 

@@ -25,8 +25,12 @@ def _ln_output_dtype(default=jnp.float32):
     for stability"); the layer ``dtype`` only sets what the normalized
     result is cast to (``_normalize``) — bf16 halves the LN HBM write plus
     the residual the VJP saves, and the next matmul casts to bf16 anyway.
-    Gate: SCENEVERSE_LN_BF16 (off|on)."""
-    v = os.environ.get("SCENEVERSE_LN_BF16", "off").lower()
+    Gate: SCENEVERSE_LN_BF16. Default ON (round 5): neutral at cap_len=64
+    (1216.8 off vs 1212.2 on — those short-L LN fusions are compute-bound)
+    but +9.5% at the production cap_len=300 headline shape (840.8 -> 920.3
+    scenes/s, MFU 0.519): the 300-token caption tower's LN-rooted fusions
+    stream f32[128,300,768] tuples and ARE bandwidth-bound."""
+    v = os.environ.get("SCENEVERSE_LN_BF16", "on").lower()
     return jnp.bfloat16 if v in ("1", "on", "true") else default
 
 

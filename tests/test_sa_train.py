@@ -193,6 +193,9 @@ def test_composite_matches_xla_fold_pipeline(monkeypatch):
     (gradients — see _replica_composite for why the incumbent is not the
     gradient oracle)."""
     monkeypatch.setenv("SCENEVERSE_BN_BF16", "on")
+    # the incumbent being compared against is the analytic-fold pipeline
+    # (the fused kernel's own math); default flipped to off in round 5
+    monkeypatch.setenv("SCENEVERSE_BN_FOLD", "on")
     rng = np.random.RandomState(3)
     grouped = jnp.asarray(rng.randn(G, M, NS, C).astype(np.float32))
     cw = jnp.asarray(rng.randn(G, M, SPEC[-1]).astype(np.float32))
