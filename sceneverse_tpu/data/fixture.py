@@ -92,6 +92,31 @@ def write_synthetic_tree(root, n_scans=3, n_objects=6, pts_per_obj=80,
     with open(root / "annotations/refer/scanrefer.jsonl", "w") as f:
         for a in annos:
             f.write(json.dumps(a) + "\n")
+
+    # Every other annotation layout base.py's source switch can read
+    # (reference data/datasets/base.py:144-213), so ONE tree can serve all
+    # family base_dirs and the full all_pretrain source mix:
+    #   refer/{sr3d,nr3d,sr3d+}.jsonl      referit3d (len(tokens)<=24 filter)
+    #   refer/ssg_ref_<sub>.json           sgrefer
+    #   refer/ssg_obj_caption_<sub>.json   sgcaption
+    #   ssg_ref_<src>.json                 non-ScanNet family bare sources
+    def _retag(tag):
+        return [dict(a, item_id=f"{tag}_{a['item_id']}") for a in annos]
+
+    for sub in ("sr3d", "nr3d", "sr3d+"):
+        with open(root / f"annotations/refer/{sub}.jsonl", "w") as f:
+            for a in _retag(sub):
+                f.write(json.dumps(a) + "\n")
+    for sub in ("rel2_gpt", "rel2_template", "relm_gpt", "relm_template",
+                "star_gpt", "star_template"):
+        with open(root / f"annotations/refer/ssg_ref_{sub}.json", "w") as f:
+            json.dump(_retag(f"sgref_{sub}"), f)
+        with open(root / f"annotations/ssg_ref_{sub}.json", "w") as f:
+            json.dump(_retag(f"ssg_{sub}"), f)
+    for sub in ("gpt", "template"):
+        with open(root / f"annotations/refer/ssg_obj_caption_{sub}.json",
+                  "w") as f:
+            json.dump(_retag(f"sgcap_{sub}"), f)
     with open(root / "annotations/scene_cap.json", "w") as f:
         json.dump(
             {sid: {"captions": [f"a synthetic room {sid}"]} for sid in scan_ids}, f

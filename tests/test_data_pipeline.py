@@ -215,3 +215,36 @@ def test_multiworker_loader_matches_single_process(data_root):
             assert isinstance(b2[k], np.ndarray), k
             np.testing.assert_array_equal(v, b2[k], err_msg=k)
     assert len(loader2) == len(build_dataloader(cfg, split="val"))
+
+
+def test_all_pretrain_source_mix_from_one_tree(data_root):
+    """The REAL configs/final/all_pretrain.yaml data section — all 5
+    families, full ScanNet source mix (scanrefer + referit3d sr3d/nr3d +
+    sr3d_plus_aug + 6x sgrefer + 2x sgcaption), every family base_dir
+    pointed at ONE fixture tree (the fixture writes every annotation layout
+    base.py:144-213 can read). Guards run.py end-to-end smokes on the
+    production config."""
+    from sceneverse_tpu.config import load_config
+    from sceneverse_tpu.data.build import get_dataset
+
+    overrides = [f"data.{k}={data_root}" for k in (
+        "scan_family_base", "rscan_base", "arkitscene_base",
+        "multiscan_base", "hm_base")]
+    overrides += [
+        "data.args.max_obj_len=5", "data.args.max_seq_len=16",
+        "data.args.num_points=32", "data.args.pc_type=gt",
+        "data.args.max_scene_cap_len=24", "dataloader.batchsize=4",
+        "dataloader.num_workers=0", "num_gpu=1",
+    ]
+    cfg = load_config("configs/final/all_pretrain.yaml", overrides)
+    ds = get_dataset(cfg, "train")
+    # ScanNet alone contributes 11 sources x len(scanrefer) items
+    scanrefer_n = sum(1 for _ in open(
+        f"{data_root}/annotations/refer/scanrefer.jsonl"))
+    assert len(ds) >= 11 * scanrefer_n
+    item = ds[0]
+    assert item["obj_fts"].shape[1:] == (32, 6)
+    loader = build_dataloader(cfg, split="train")
+    batch = next(iter(loader))
+    assert batch["obj_fts"].shape == (4, 5, 32, 6)
+    assert batch["scene_txt_ids"].shape == (4, 24)
