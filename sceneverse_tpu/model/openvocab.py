@@ -100,6 +100,31 @@ class _OpenVocabBase(BaseModel):
     def _lang(self, *args):
         return self._tower("language", self.lang_encoder, *args)
 
+    def _lang_cls(self, ids, masks):
+        """Caption-tower call whose output is consumed ONLY at [CLS]: ask
+        the encoder (when it supports it) to compute just the position-0
+        query row in its final layer — same math as full compute then
+        ``[:, 0]``, minus the dead 299-row final-layer FFN/LN fwd+bwd at
+        max_scene_cap_len=300 (the cotangent outside row 0 is identically
+        zero but XLA still runs full-width matmuls on it). Gate:
+        SCENEVERSE_CAP_CLS_ONLY (default on)."""
+        import inspect
+        import os
+
+        supported = "cls_only" in inspect.signature(
+            type(self.lang_encoder).__call__).parameters
+        enabled = os.environ.get("SCENEVERSE_CAP_CLS_ONLY", "on").lower() in (
+            "1", "on", "true")
+        if not (supported and enabled):
+            return self._lang(ids, masks)[:, 0]
+        if "language" in self.remat:
+            # cls_only must stay a PYTHON bool through remat (it drives
+            # static control flow) — close over it instead of passing it
+            return nnx.remat(lambda m, a, b: m(a, b, cls_only=True),
+                             policy=self.remat_policy)(
+                self.lang_encoder, ids, masks)[:, 0]
+        return self.lang_encoder(ids, masks, cls_only=True)[:, 0]
+
     def _vision(self, *args):
         return self._tower("vision", self.point_encoder, *args)
 
@@ -193,7 +218,7 @@ class OpenVocab(_OpenVocabBase):
                 # Padded positions are exactly masked in both, so outputs
                 # match to XLA-reassociation order.
                 lang_feats = self._lang(txt_ids, txt_masks)
-                out["scene_text_embed"] = self._lang(sc_ids, sc_masks)[:, 0]
+                out["scene_text_embed"] = self._lang_cls(sc_ids, sc_masks)
             else:
                 # one batched call (pad to the longer length, concat on
                 # batch) — fewer, larger fusions (default; the split

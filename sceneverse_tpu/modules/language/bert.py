@@ -84,9 +84,28 @@ class BertSelfAttention(nnx.Module):
         self.value = _linear(cfg.hidden_size, cfg.hidden_size, rngs)
         self.dropout = nnx.Dropout(cfg.attention_probs_dropout_prob, rngs=rngs)
 
-    def __call__(self, x: Array, attn_bias: Array):
+    def __call__(self, x: Array, attn_bias: Array, q_rows: int | None = None):
+        """``q_rows``: compute attention outputs for the first ``q_rows``
+        query positions only (K/V stay full-length). Used by the cls_only
+        final layer — see BertModel."""
         B, L, D = x.shape
         H, dh = self.num_heads, self.head_dim
+        if q_rows is not None:
+            # tiny-Lq cross-attention: the fused/flash kernels are square
+            # (Lq == Lkv) and at Lq=1 the XLA einsum path is already cheap
+            xq = x[:, :q_rows]
+            q = self.query(xq).reshape(B, q_rows, H, dh).transpose(0, 2, 1, 3)
+            k = self.key(x).reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+            v = self.value(x).reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=q.dtype
+            ) / jnp.asarray(math.sqrt(dh), q.dtype)
+            logits = logits + attn_bias.astype(logits.dtype)
+            from sceneverse_tpu.ops.softmax import softmax_lowp
+
+            attn = self.dropout(softmax_lowp(logits, v.dtype))
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            return out.transpose(0, 2, 1, 3).reshape(B, q_rows, D)
         q2, k2, v2 = self.query(x), self.key(x), self.value(x)
         # bespoke fused path (ops/pallas/mha.py): consumes the HF additive
         # mask row directly; prob-dropout runs in-kernel (same distribution,
@@ -157,8 +176,9 @@ class BertAttention(nnx.Module):
         self.self = BertSelfAttention(cfg, rngs=rngs)
         self.output = BertSelfOutput(cfg, rngs=rngs)
 
-    def __call__(self, x: Array, attn_bias: Array):
-        return self.output(self.self(x, attn_bias), x)
+    def __call__(self, x: Array, attn_bias: Array, q_rows: int | None = None):
+        residual = x if q_rows is None else x[:, :q_rows]
+        return self.output(self.self(x, attn_bias, q_rows), residual)
 
 
 class BertLayer(nnx.Module):
@@ -169,10 +189,10 @@ class BertLayer(nnx.Module):
         self.output_LayerNorm = nnx.LayerNorm(cfg.hidden_size, epsilon=cfg.layer_norm_eps, rngs=rngs)
         self.output_dropout = nnx.Dropout(cfg.hidden_dropout_prob, rngs=rngs)
 
-    def __call__(self, x: Array, attn_bias: Array):
+    def __call__(self, x: Array, attn_bias: Array, q_rows: int | None = None):
         from sceneverse_tpu.modules.layers.transformers import _ln_split
 
-        x = self.attention(x, attn_bias)
+        x = self.attention(x, attn_bias, q_rows)
         h = jax.nn.gelu(self.intermediate_dense(x), approximate=False)
         return self.output_LayerNorm(
             _ln_split(self.output_dropout(self.output_dense(h)) + x))
@@ -185,14 +205,26 @@ class BertModel(nnx.Module):
         self.layer = nnx.List([BertLayer(cfg, rngs=rngs) for _ in range(cfg.num_hidden_layers)])
 
     def __call__(self, input_ids: Array, attention_mask: Array,
-                 token_type_ids: Array | None = None) -> Array:
-        """Returns last_hidden_state (B, L, D). ``attention_mask``: 1 = keep."""
+                 token_type_ids: Array | None = None,
+                 cls_only: bool = False) -> Array:
+        """Returns last_hidden_state (B, L, D). ``attention_mask``: 1 = keep.
+
+        ``cls_only=True`` returns (B, 1, D): the final layer computes ONLY
+        the [CLS] query row (same math as full compute then ``[:, :1]`` —
+        K/V stay full-length, so every layer's attention sees all tokens).
+        Used for towers whose output is consumed only at position 0 (the
+        scene-caption tower, model/openvocab.py): at the production
+        max_scene_cap_len=300 this removes the last layer's 300-row FFN +
+        LN + their backwards, and turns the dead-299-row cotangent matmuls
+        into 1-row ones — XLA cannot sink the downstream slice through the
+        dots itself."""
         x = self.embeddings(input_ids, token_type_ids)
         # HF extended attention mask: (1 - mask) * finfo.min, additive.
         bias = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :]
         bias = bias * jnp.finfo(jnp.float32).min
-        for layer in self.layer:
-            x = layer(x, bias)
+        last = len(self.layer) - 1
+        for i, layer in enumerate(self.layer):
+            x = layer(x, bias, q_rows=1 if (cls_only and i == last) else None)
         return x
 
 
@@ -215,5 +247,6 @@ class BERTLanguageEncoder(nnx.Module):
             rngs=rngs,
         )
 
-    def __call__(self, txt_ids: Array, txt_masks: Array, **kwargs) -> Array:
-        return self.model(txt_ids, txt_masks)
+    def __call__(self, txt_ids: Array, txt_masks: Array,
+                 cls_only: bool = False, **kwargs) -> Array:
+        return self.model(txt_ids, txt_masks, cls_only=cls_only)

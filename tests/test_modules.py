@@ -187,3 +187,45 @@ def test_spatial_encoder_layer_runs():
     pad = jnp.zeros((2, 6), bool)
     out, _ = layer(x, pl, tgt_key_padding_mask=pad)
     assert out.shape == (2, 6, 24)
+
+
+def test_bert_cls_only_matches_full_forward_and_grads(monkeypatch):
+    """cls_only=True (final layer computes only the [CLS] query row —
+    model/openvocab.py scene-caption tower) must equal the full forward's
+    ``[:, :1]``, in outputs AND in parameter gradients of a loss that reads
+    only position 0 (the only way the caption tower is consumed). Fused MHA
+    off: its custom VJP has different float noise than the einsum path the
+    cls_only row takes, which would dominate the comparison."""
+    monkeypatch.setenv("SCENEVERSE_FUSED_MHA", "off")
+    enc = BERTLanguageEncoder(hidden_size=48, num_hidden_layers=3,
+                              num_attention_heads=4, rngs=nnx.Rngs(11))
+    enc.eval()
+    r = np.random.RandomState(5)
+    ids = jnp.asarray(r.randint(0, 1000, (3, 17)))
+    masks = jnp.asarray((np.arange(17)[None] < np.array([17, 9, 4])[:, None])
+                        .astype(np.int32))
+
+    full = enc(ids, masks)
+    cls = enc(ids, masks, cls_only=True)
+    assert cls.shape == (3, 1, 48)
+    np.testing.assert_allclose(np.asarray(cls), np.asarray(full[:, :1]),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(model, cls_only):
+        out = model(ids, masks, cls_only=cls_only)
+        return jnp.sum(out[:, 0] ** 2)
+
+    g_full = nnx.grad(lambda m: loss(m, False))(enc)
+    g_cls = nnx.grad(lambda m: loss(m, True))(enc)
+    lf = jax.tree_util.tree_leaves(nnx.to_pure_dict(g_full))
+    lc = jax.tree_util.tree_leaves(nnx.to_pure_dict(g_cls))
+    assert len(lf) == len(lc)
+    # Noise floor is set by the WHOLE gradient's scale (O(40) here), not
+    # each leaf's: leaves whose true grad nearly cancels (LN-absorbed
+    # biases ~1e-6, embedding grads ~2e-5 assembled from O(1) terms) are
+    # pure f32 reduction-order residue — the differently-shaped final-layer
+    # matmuls round differently — and their diffs rival their own values.
+    gmax = max(float(np.abs(np.asarray(x)).max()) for x in lf)
+    for a, b in zip(lf, lc):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4 * gmax)

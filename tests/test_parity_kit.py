@@ -33,6 +33,7 @@ def test_parity_kit_commands_on_fixture(tmp_path, monkeypatch):
     # PARITY_KIT.md step 1: bit-exact kernel mode
     monkeypatch.setenv("SCENEVERSE_FUSED_MHA", "off")
     monkeypatch.delenv("SCENEVERSE_PALLAS_FAST", raising=False)
+    monkeypatch.setenv("SCENEVERSE_CAP_CLS_ONLY", "off")
 
     import run
 
