@@ -24,9 +24,9 @@ target is vs_baseline >= 3 (BASELINE.json: ">=3x A100 scenes/sec/chip").
 
 from __future__ import annotations
 
-import functools
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -97,40 +97,10 @@ def main(bf16: bool = True):
     if bf16:
         enable_mixed_precision(model)
     loss_mod, tx, _, _ = build_optim(cfg, model, total_steps=10_000)
-    optimizer = nnx.Optimizer(model, tx, wrt=nnx.Param)
+    from __graft_entry__ import make_train_scaffold
 
-    # functional step: split once, pure jit — avoids per-call NNX graph
-    # traversal overhead in the hot loop
-    graphdef, state = nnx.split((model, optimizer))
-
-    def train_step(state, batch):
-        model, optimizer = nnx.merge(graphdef, state)
-
-        def loss_fn(model):
-            out = model(batch)
-            total, _ = loss_mod(out)
-            return total
-
-        total, grads = nnx.value_and_grad(loss_fn)(model)
-        optimizer.update(model, grads)
-        _, new_state = nnx.split((model, optimizer))
-        return total, new_state
-
-    # SCAN_STEPS dependent steps inside ONE executable: a remote-execution
-    # tunnel adds tens of ms of dispatch per call and occasionally stalls,
-    # which a python-side step loop pays per step; scanning K steps measures
-    # the chip's own step time (what a directly-attached deployment sees)
-    # donate_argnums: the consumed state's buffers are reused for the
-    # updated state, so params + optimizer moments are single-buffered —
-    # several GiB of peak HBM at GPS scale (the round-5 cap64-after-cap300
-    # runtime OOM margin)
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_k(state, batch):
-        def body(st, _):
-            total, st2 = train_step(st, batch)
-            return st2, total
-        state, totals = jax.lax.scan(body, state, None, length=SCAN_STEPS)
-        return totals[-1], state
+    train_step, train_k, state = make_train_scaffold(
+        model, loss_mod, tx, SCAN_STEPS)
 
     # XLA cost analysis: total FLOPs of the K-step executable -> MFU
     # denominator (v5e bf16 peak 197 TFLOP/s). Pallas custom kernels are
@@ -157,48 +127,71 @@ def main(bf16: bool = True):
     batch_size = BATCH
     step_flops = 0.0
     compiled = None
+    # largest batch PROVEN to execute at this shape (cap300 b128 / cap64
+    # b256, BASELINE.md round 5) — the conservative clamp when the static
+    # memory analysis itself is unavailable (tunnel-flaky)
+    proven_batch = 128 if CAP_LEN >= 192 else 256
     while True:
         batch = _gps_batch(batch_size, NUM_OBJ, NUM_POINTS, SEQ_LEN,
                            cap_len=CAP_LEN)
         try:
             compiled = train_k.lower(state, batch).compile()
-            if not no_mfu:
-                # FLOP count from a SINGLE unscanned step: XLA's cost
-                # analysis counts a while-loop body once regardless of trip
-                # count, so analyzing train_k and dividing by SCAN_STEPS
-                # under-reported the numerator ~5x (round 4). Timing still
-                # uses the scanned executable.
-                cost = jax.jit(train_step).lower(state, batch).compile(
-                ).cost_analysis()
-                if isinstance(cost, (list, tuple)):
-                    cost = cost[0]
-                step_flops = float(cost.get("flops", 0.0))
-            if memcheck:
+        except Exception:
+            compiled = None  # measure() falls back to the jit call
+            break
+        if memcheck:
+            try:
                 mem = compiled.memory_analysis()
                 need = (mem.argument_size_in_bytes + mem.temp_size_in_bytes
                         + mem.output_size_in_bytes)
-                if need > limit:
-                    # drop the too-big device batch BEFORE building the
-                    # smaller one — lazily-freed arrays contributed to the
-                    # round-5 runtime OOM that the static check passed
+            except Exception:
+                need = None
+            if need is None:
+                # analysis unavailable: do NOT run an unproven batch
+                # unguarded (a device OOM wedges the axon client); clamp to
+                # the proven size instead of silently skipping the check
+                if batch_size > proven_batch:
+                    print(f"[bench] memory_analysis unavailable; clamping "
+                          f"batch {batch_size} -> {proven_batch}",
+                          file=sys.stderr)
                     del batch, compiled
-                    if batch_size > 16:
-                        import sys
-
-                        print(f"[bench] batch {batch_size} needs "
-                              f"{need / 2**30:.2f} GiB > limit; halving",
-                              file=sys.stderr)
-                        batch_size //= 2
-                        continue
-                    print(json.dumps({
-                        "metric": "gps_pretrain_scenes_per_sec_per_chip",
-                        "value": 0.0, "unit": "scenes/s", "vs_baseline": 0.0,
-                        "oom_predicted": True, "batch": batch_size,
-                        "hbm_needed_gib": round(need / 2**30, 2)}))
-                    return
-        except Exception:
-            compiled = None
+                    batch_size = proven_batch
+                    continue
+                print("[bench] memory_analysis unavailable; proceeding at "
+                      f"proven batch {batch_size}", file=sys.stderr)
+            elif need > limit:
+                # drop the too-big device batch BEFORE building the
+                # smaller one — lazily-freed arrays contributed to the
+                # round-5 runtime OOM that the static check passed
+                del batch, compiled
+                if batch_size > 16:
+                    print(f"[bench] batch {batch_size} needs "
+                          f"{need / 2**30:.2f} GiB > limit; halving",
+                          file=sys.stderr)
+                    batch_size //= 2
+                    continue
+                print(json.dumps({
+                    "metric": "gps_pretrain_scenes_per_sec_per_chip",
+                    "value": 0.0, "unit": "scenes/s", "vs_baseline": 0.0,
+                    "oom_predicted": True, "batch": batch_size,
+                    "hbm_needed_gib": round(need / 2**30, 2)}))
+                return
         break
+    if not no_mfu and compiled is not None:
+        # FLOP count from a SINGLE unscanned step: XLA's cost analysis
+        # counts a while-loop body once regardless of trip count, so
+        # analyzing train_k and dividing by SCAN_STEPS under-reported the
+        # numerator ~5x (round 4). Timing still uses the scanned
+        # executable. Runs AFTER the batch size is final — this compile
+        # costs minutes over the tunnel, so don't pay it per halving step.
+        try:
+            cost = jax.jit(train_step).lower(state, batch).compile(
+            ).cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            step_flops = float(cost.get("flops", 0.0))
+        except Exception:
+            step_flops = 0.0
     # the frozen-tower Pallas kernels are opaque to XLA's FLOP count; in the
     # unfreeze ablation the tower runs (and is counted) as plain XLA ops
     pallas_flops = (0.0 if unfreeze
@@ -253,8 +246,16 @@ def main(bf16: bool = True):
         gc.collect()
         # secondary shape: cap-64 (round <=4 headline; the shape a
         # length-bucketing loader reaches on short-caption data) at ITS OWN
-        # batch optimum (the round-4 default 256) when it fits
-        b64 = int(os.environ.get("SCENEVERSE_BENCH_BATCH", 256))
+        # batch optimum (the round-4 default 256; SCENEVERSE_BENCH_CAP64_BATCH
+        # overrides — deliberately separate from the headline's
+        # SCENEVERSE_BENCH_BATCH so probing the cap-300 batch doesn't
+        # silently detune this row off its tracked baseline)
+        b64 = int(os.environ.get("SCENEVERSE_BENCH_CAP64_BATCH", 256))
+        # b256-cap64 is the round-4 shipped default, proven to execute —
+        # allow it the measured headroom, UNLESS the user set an explicit
+        # (possibly stricter) limit
+        limit64 = (limit if "SCENEVERSE_BENCH_HBM_LIMIT" in os.environ
+                   else max(limit, 14.8e9))
         while b64 >= 16:
             batch64 = _gps_batch(b64, NUM_OBJ, NUM_POINTS, SEQ_LEN,
                                  cap_len=64)
@@ -266,14 +267,22 @@ def main(bf16: bool = True):
                     need = (mem.argument_size_in_bytes
                             + mem.temp_size_in_bytes
                             + mem.output_size_in_bytes)
-                    # b256-cap64 is the round-4 shipped default, proven to
-                    # execute — allow it the measured headroom
-                    if need > max(limit, 14.8e9):
-                        del batch64, compiled64
-                        b64 //= 2
-                        continue
                 except Exception:
-                    compiled64 = None
+                    need = None
+                if need is None:
+                    # same conservative stance as the headline: never run an
+                    # unproven batch with the guard silently gone
+                    if b64 > 256:
+                        print(f"[bench] cap64 memory_analysis unavailable; "
+                              f"clamping batch {b64} -> 256", file=sys.stderr)
+                        del batch64
+                        compiled64 = None
+                        b64 = 256
+                        continue
+                elif need > limit64:
+                    del batch64, compiled64
+                    b64 //= 2
+                    continue
             sps, _, state = measure(state, batch64, b64, compiled64)
             out["scenes_per_sec_cap64"] = round(sps, 2)
             out["batch_cap64"] = b64

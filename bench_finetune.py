@@ -101,30 +101,9 @@ def bench_task(task: str, batch: int) -> dict:
     model.train()
     enable_mixed_precision(model)
     loss_mod, tx, _, _ = build_optim(cfg, model, total_steps=10_000)
-    optimizer = nnx.Optimizer(model, tx, wrt=nnx.Param)
-    graphdef, state = nnx.split((model, optimizer))
+    from __graft_entry__ import make_train_scaffold
 
-    def train_step(state, batch_d):
-        mdl, opt = nnx.merge(graphdef, state)
-
-        def loss_fn(mdl):
-            out = mdl(batch_d)
-            total, _ = loss_mod(out)
-            return total
-
-        total, grads = nnx.value_and_grad(loss_fn)(mdl)
-        opt.update(mdl, grads)
-        _, new_state = nnx.split((mdl, opt))
-        return total, new_state
-
-    @jax.jit
-    def train_k(state, batch_d):
-        def body(st, _):
-            total, st2 = train_step(st, batch_d)
-            return st2, total
-
-        state, totals = jax.lax.scan(body, state, None, length=SCAN_STEPS)
-        return totals[-1], state
+    _, train_k, state = make_train_scaffold(model, loss_mod, tx, SCAN_STEPS)
 
     batch_d = _batch(task, batch)
     total, state = train_k(state, batch_d)

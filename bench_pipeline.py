@@ -259,7 +259,14 @@ class BoundedLoader:
                 yield next(it)
             except StopIteration:
                 it = iter(self.loader)
-                yield next(it)
+                try:
+                    yield next(it)
+                except StopIteration:
+                    # PEP 479 would surface this as an opaque
+                    # "generator raised StopIteration" RuntimeError
+                    raise RuntimeError(
+                        "BoundedLoader: wrapped loader yields no batches "
+                        "(empty split / everything filtered out?)") from None
 
 
 def bench_trainer_feed(cfg, steps, n_threads=1):

@@ -44,29 +44,9 @@ def main(tag: str = "step", scan_steps: int = 3):
     model.train()
     enable_mixed_precision(model)
     loss_mod, tx, _, _ = build_optim(cfg, model, total_steps=10_000)
-    optimizer = nnx.Optimizer(model, tx, wrt=nnx.Param)
-    graphdef, state = nnx.split((model, optimizer))
+    from __graft_entry__ import make_train_scaffold
 
-    def train_step(state, batch):
-        model, optimizer = nnx.merge(graphdef, state)
-
-        def loss_fn(model):
-            out = model(batch)
-            total, _ = loss_mod(out)
-            return total
-
-        total, grads = nnx.value_and_grad(loss_fn)(model)
-        optimizer.update(model, grads)
-        _, new_state = nnx.split((model, optimizer))
-        return total, new_state
-
-    @jax.jit
-    def train_k(state, batch):
-        def body(st, _):
-            total, st2 = train_step(st, batch)
-            return st2, total
-        state, totals = jax.lax.scan(body, state, None, length=scan_steps)
-        return totals[-1], state
+    _, train_k, state = make_train_scaffold(model, loss_mod, tx, scan_steps)
 
     batch = _gps_batch(batch_size, 80, 1024, 50, cap_len=cap_len)
     total, state = train_k(state, batch)  # compile + warm
